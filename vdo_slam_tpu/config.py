@@ -1,0 +1,226 @@
+"""Typed configuration for the TPU-native VDO-SLAM rebuild.
+
+One dataclass surfaces every knob of the reference:
+  * all yaml keys parsed by Tracking's ctor (reference src/Tracking.cc:53-161,
+    example/kitti-0000-0013.yaml)
+  * every constant the reference hardcodes (SURVEY.md §5.6): bJoint
+    (Tracking.cc:170), solver information matrices and Huber deltas
+    (Optimizer.cc:190-195, 2335, 2757, 213, 1330-1335, 1352), RANSAC params
+    (Tracking.cc:1652-1655), object sampling stride (Frame.cc:201), tracklet
+    length threshold (Optimizer.cc:74,85), boundary shrink (Tracking.cc:
+    1404-1408), min object size (Tracking.cc:1490), far-depth gates
+    (Tracking.cc:2691,2849)
+  * TPU-specific static-shape capacities that replace the reference's dynamic
+    std::vectors.
+
+`load_settings` reads the reference's OpenCV-FileStorage yaml files directly,
+so existing configs (example/*.yaml) work unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+OMD = 1
+KITTI = 2
+VIRTUAL_KITTI = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    fx: float = 721.5377
+    fy: float = 721.5377
+    cx: float = 609.5593
+    cy: float = 172.8540
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 1242
+    height: int = 375
+    fps: float = 10.0
+    bf: float = 387.5744
+    rgb: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    # ORBextractor params (yaml ORBextractor.*; descriptors are disabled in the
+    # reference — ORBextractor.cc:1091 — so only FAST corners are produced).
+    n_features: int = 2500
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    fast_cell: int = 30            # FAST detection cell size, ORBextractor.cc:789
+    edge_threshold: int = 19       # ORBextractor.cc EDGE_THRESHOLD
+    # background feature policy
+    use_sample_feature: bool = False   # yaml UseSampleFeature
+    n_sample_points: int = 3000        # Frame::SampleKeyPoints N (Frame.cc:676)
+    sample_grid_div: int = 20          # Frame.cc:677
+    # semi-dense object sampling
+    obj_sample_step: int = 4           # Frame.cc:201
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    dataset: int = KITTI               # yaml ChooseData
+    depth_map_factor: float = 256.0    # yaml DepthMapFactor
+    th_depth_bg: float = 40.0          # yaml ThDepthBG
+    th_depth_obj: float = 25.0         # yaml ThDepthOBJ
+    max_track_points_bg: int = 1200    # yaml MaxTrackPointBG
+    max_track_points_obj: int = 800    # yaml MaxTrackPointOBJ
+    sf_mg_thres: float = 0.12          # yaml SFMgThres (scene-flow magnitude)
+    sf_ds_thres: float = 0.3           # yaml SFDsThres (static fraction)
+    window_size: int = 20              # yaml WINDOW_SIZE
+    overlap_size: int = 4              # yaml OVERLAP_SIZE
+    joint_flow: bool = True            # bJoint, hardcoded true Tracking.cc:170
+    # dynamic-object gating (hardcoded in reference)
+    boundary_shrink_row: int = 25      # Tracking.cc:1404-1408 (KITTI only)
+    boundary_shrink_col: int = 50
+    boundary_frac_thres: float = 0.5   # Tracking.cc:1413 count_thres
+    min_obj_points: int = 150          # Tracking.cc:1490
+    min_init_inliers: int = 50         # Tracking.cc:879-890
+    renew_depth_gate_bg: float = 40.0  # Tracking.cc:2691
+    renew_depth_gate_obj: float = 25.0 # Tracking.cc:2849
+    mask_recover_min_points: int = 100 # Tracking.cc:3044 (LabTmp.size()<100)
+    # depth-noise fault injection (Frame.cc:489-493): sigma = z^2/(725*0.5)*0.15
+    depth_noise: bool = False
+    depth_noise_scale: float = 0.15 / (725.0 * 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # RANSAC init (Tracking.cc:1652-1655)
+    ransac_iters: int = 500
+    ransac_reproj_thres: float = 0.4
+    ransac_confidence: float = 0.98
+    # joint flow-pose LM (Optimizer.cc:2333-2542 / 2755-2972)
+    rp_thres: float = 0.04             # chi2 outlier threshold + Huber delta^2
+    info_proj: float = 0.1             # projection-edge information (2335)
+    info_flow_cam: float = 0.3         # flow-prior information, camera (2440)
+    info_flow_obj: float = 0.5         # flow-prior information, object (2869)
+    lm_iters: int = 30                 # g2o runs 100 (2455); we early-stop
+    lm_lambda_init: float = 1e-5
+    lm_lambda_factor: float = 10.0
+    update_flow: bool = True           # refined flow overwrites keypoints (2524)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    # windowed (local) BA — Optimizer::PartialBatchOptimization (Optimizer.cc:42-)
+    local_sigma2_cam: float = 1e-4     # Optimizer.cc:190
+    local_sigma2_3d_sta: float = 16.0  # Optimizer.cc:191
+    local_gain_thres: float = 1e-3     # Optimizer.cc:141
+    local_iters: int = 100
+    # full-batch BA — Optimizer::FullBatchOptimization (Optimizer.cc:1232-)
+    full_sigma2_cam: float = 1e-3      # Optimizer.cc:1330
+    full_sigma2_3d_sta: float = 80.0
+    full_sigma2_obj_smo: float = 1e-3
+    full_sigma2_obj: float = 100.0
+    full_sigma2_3d_dyn: float = 80.0
+    full_sigma2_alti: float = 0.1
+    full_gain_thres: float = 1e-4
+    full_iters: int = 50               # g2o uses up to 300 w/ early stop
+    prior_information: float = 1e5     # Optimizer.cc:1341 (*100000)
+    huber_delta: float = 1e-4          # deltaHuberCamMot/ObjMot/3D, Optimizer.cc:1352
+    track_len_thres: int = 3           # FeaLengthThresSta/Dyn (Optimizer.cc:74,85)
+    robust_kernel: bool = True
+    smooth_constraint: bool = True
+    altitude_constraint: bool = False
+    local_static_only: bool = True     # STATIC_ONLY=true in local BA (Optimizer.cc:211)
+    cg_iters: int = 200                # matrix-free PCG budget (full BA)
+    cg_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeConfig:
+    """Static padding capacities (the TPU replacement for dynamic vectors)."""
+    max_static: int = 1200             # == MaxTrackPointBG
+    max_dynamic: int = 4096            # total dynamic feature slots per frame
+    max_objects: int = 16              # concurrent object motion slots
+    max_sem_labels: int = 32           # distinct instance labels in one frame
+    ransac_samples: int = 256          # vmapped minimal solves per RANSAC
+
+
+@dataclasses.dataclass(frozen=True)
+class VDOConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    shapes: ShapeConfig = dataclasses.field(default_factory=ShapeConfig)
+    seed: int = 0                      # deterministic PRNG (ref uses time(NULL))
+
+    def replace(self, **kwargs: Any) -> "VDOConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _parse_opencv_yaml(path: str | Path) -> dict:
+    """Parse an OpenCV FileStorage yaml (the reference's settings format)."""
+    text = Path(path).read_text()
+    text = re.sub(r"^%YAML:[\d.]+\s*", "", text)
+    text = text.replace("!!opencv-matrix", "")
+    return yaml.safe_load(text) or {}
+
+
+def load_settings(path: str | Path, **overrides: Any) -> VDOConfig:
+    """Build a VDOConfig from a reference-format settings yaml.
+
+    Mirrors the key list in Tracking's ctor (Tracking.cc:53-161).  Unknown
+    keys are ignored; missing keys keep the KITTI defaults.
+    """
+    raw = _parse_opencv_yaml(path)
+
+    def g(key, default):
+        v = raw.get(key, default)
+        return v if v is not None else default
+
+    cam = CameraConfig(
+        fx=float(g("Camera.fx", 721.5377)),
+        fy=float(g("Camera.fy", 721.5377)),
+        cx=float(g("Camera.cx", 609.5593)),
+        cy=float(g("Camera.cy", 172.8540)),
+        k1=float(g("Camera.k1", 0.0)),
+        k2=float(g("Camera.k2", 0.0)),
+        p1=float(g("Camera.p1", 0.0)),
+        p2=float(g("Camera.p2", 0.0)),
+        k3=float(g("Camera.k3", 0.0)),
+        width=int(g("Camera.width", 1242)),
+        height=int(g("Camera.height", 375)),
+        fps=float(g("Camera.fps", 10.0)) or 30.0,
+        bf=float(g("Camera.bf", 387.5744)),
+        rgb=bool(int(g("Camera.RGB", 1))),
+    )
+    fe = FrontendConfig(
+        n_features=int(g("ORBextractor.nFeatures", 2500)),
+        scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(g("ORBextractor.iniThFAST", 20)),
+        min_th_fast=int(g("ORBextractor.minThFAST", 7)),
+        use_sample_feature=bool(int(g("UseSampleFeature", 0))),
+    )
+    tr = TrackingConfig(
+        dataset=int(g("ChooseData", KITTI)),
+        depth_map_factor=float(g("DepthMapFactor", 256.0)),
+        th_depth_bg=float(g("ThDepthBG", 40.0)),
+        th_depth_obj=float(g("ThDepthOBJ", 25.0)),
+        max_track_points_bg=int(g("MaxTrackPointBG", 1200)),
+        max_track_points_obj=int(g("MaxTrackPointOBJ", 800)),
+        sf_mg_thres=float(g("SFMgThres", 0.12)),
+        sf_ds_thres=float(g("SFDsThres", 0.3)),
+        window_size=int(g("WINDOW_SIZE", 20)),
+        overlap_size=int(g("OVERLAP_SIZE", 4)),
+    )
+    shapes = ShapeConfig(max_static=tr.max_track_points_bg)
+    cfg = VDOConfig(camera=cam, frontend=fe, tracking=tr, shapes=shapes)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

@@ -1,0 +1,266 @@
+"""Synthetic RGB-D + flow + instance-mask scene generator with exact GT.
+
+The reference has no test suite (SURVEY.md §4); its de-facto oracle is a
+downloaded KITTI demo with GT in the loop.  This module replaces that with a
+closed-form renderable world, giving every pipeline stage an analytic oracle:
+
+  world  = a set of textured 3D planar patches:
+             * background planes (ground + walls), static in world frame
+             * object planes, each rigidly moved per frame by H_k in SE(3)
+  camera = smooth SE(3) trajectory T_wc(k)
+
+For every frame we ray-cast each pixel against all planes (closed form),
+z-buffer for the winning patch, and derive depth / instance mask / forward
+optical flow / GT camera pose / GT object poses exactly — the same input
+tuple the reference's demo loader produces (example/vdo_slam.cc:98-141).
+
+Everything is vectorized numpy/JAX; frames render in milliseconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..geometry import se3 as _se3_jax
+
+# numpy SE3 helpers (host-side generation keeps the device free)
+
+
+def _rodrigues(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _pose(w, t) -> np.ndarray:
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :3] = _rodrigues(np.asarray(w, dtype=np.float64))
+    T[:3, 3] = t
+    return T
+
+
+def _inv(T: np.ndarray) -> np.ndarray:
+    Ti = np.eye(4, dtype=T.dtype)
+    Ti[:3, :3] = T[:3, :3].T
+    Ti[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+    return Ti
+
+
+@dataclasses.dataclass
+class Patch:
+    """A finite textured rectangle: origin o, edge vectors e_u, e_v (world).
+
+    Points: X(a,b) = o + a*e_u + b*e_v for a,b in [0,1].  label 0 = background.
+    """
+
+    origin: np.ndarray
+    eu: np.ndarray
+    ev: np.ndarray
+    label: int
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    """Generated sequence with exact ground truth."""
+
+    rgb: np.ndarray          # (F, H, W) float32 grayscale in [0,1]
+    depth: np.ndarray        # (F, H, W) float32 metric depth (0 = invalid)
+    flow: np.ndarray         # (F, H, W, 2) float32 forward flow k -> k+1
+    mask: np.ndarray         # (F, H, W) int32 instance labels (0 = static)
+    T_wc_gt: np.ndarray      # (F, 4, 4) camera poses, camera->world
+    obj_H_gt: np.ndarray     # (F, K, 4, 4) world-frame motion k-1 -> k per object
+    obj_pose_gt: np.ndarray  # (F, K, 4, 4) object pose L_w per frame
+    obj_labels: np.ndarray   # (K,) instance labels of the objects
+    K_mat: np.ndarray        # (3, 3) intrinsics
+
+
+def _checker(a: np.ndarray, b: np.ndarray, freq: float, phase: float) -> np.ndarray:
+    """Smooth pseudo-texture over patch coords — gives FAST corners."""
+    return (
+        0.5
+        + 0.25 * np.sin(2 * np.pi * freq * a + phase)
+        + 0.25 * np.sin(2 * np.pi * (freq * 1.7) * b + 2.3 * phase)
+    )
+
+
+def make_scene(
+    num_frames: int = 12,
+    width: int = 320,
+    height: int = 240,
+    num_objects: int = 2,
+    fx: float = 320.0,
+    fy: float = 320.0,
+    seed: int = 0,
+    cam_speed: float = 0.25,
+    obj_speed: float = 0.5,
+    cam_yaw_rate: float = 0.004,
+) -> SyntheticScene:
+    """Build a KITTI-like forward-driving scene with moving planar objects."""
+    rng = np.random.default_rng(seed)
+    cx, cy = width / 2.0, height / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float64)
+
+    # --- static background: ground plane + two side walls + far wall
+    patches: list[Patch] = [
+        Patch(np.array([-40.0, 2.0, -5.0]), np.array([80.0, 0.0, 0.0]),
+              np.array([0.0, 0.0, 120.0]), 0),
+        Patch(np.array([-12.0, 2.0, -5.0]), np.array([0.0, -10.0, 0.0]),
+              np.array([0.0, 0.0, 120.0]), 0),
+        Patch(np.array([12.0, 2.0, -5.0]), np.array([0.0, -10.0, 0.0]),
+              np.array([0.0, 0.0, 120.0]), 0),
+        Patch(np.array([-40.0, 2.0, 110.0]), np.array([80.0, 0.0, 0.0]),
+              np.array([0.0, -30.0, 0.0]), 0),
+    ]
+
+    # --- objects: upright planar "vehicles" ahead of the camera
+    obj_patches: list[Patch] = []
+    obj_T0: list[np.ndarray] = []
+    obj_vel: list[np.ndarray] = []  # per-frame body twist (w, v)
+    for k in range(num_objects):
+        x0 = rng.uniform(-4.0, 4.0)
+        z0 = rng.uniform(8.0, 16.0) + 6.0 * k
+        w_, h_ = rng.uniform(2.5, 3.5), rng.uniform(1.6, 2.2)
+        # object local frame at its centre; patch defined in LOCAL coords
+        obj_patches.append(
+            Patch(np.array([-w_ / 2, h_ / 2, 0.0]), np.array([w_, 0.0, 0.0]),
+                  np.array([0.0, -h_, 0.0]), k + 1)
+        )
+        obj_T0.append(_pose([0.0, 0.0, 0.0], [x0, 0.9, z0]))
+        fwd = obj_speed * rng.uniform(0.7, 1.3)
+        yaw = rng.uniform(-0.01, 0.01)
+        obj_vel.append((np.array([0.0, yaw, 0.0]),
+                        np.array([rng.uniform(-0.02, 0.02), 0.0, fwd])))
+
+    # --- camera trajectory: forward motion with gentle yaw
+    T_wc = np.zeros((num_frames, 4, 4))
+    for f in range(num_frames):
+        yaw = cam_yaw_rate * f * f
+        t = np.array([0.3 * np.sin(0.08 * f), 0.0, cam_speed * f])
+        T_wc[f] = _pose([0.0, yaw, 0.0], t)
+
+    # --- object pose chains L_w(f) and world motions H(f): L(f) = H(f) L(f-1)
+    L = np.zeros((num_frames, num_objects, 4, 4))
+    Hs = np.tile(np.eye(4), (num_frames, num_objects, 1, 1))
+    for k in range(num_objects):
+        L[0, k] = obj_T0[k]
+        step = _pose(*obj_vel[k])  # constant body-frame step
+        for f in range(1, num_frames):
+            L[f, k] = L[f - 1, k] @ step        # body-frame increment
+            Hs[f, k] = L[f, k] @ _inv(L[f - 1, k])  # world-frame motion
+
+    # --- render
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    rays_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, dtype=np.float64)], axis=-1
+    )  # (H, W, 3) unit-z camera rays
+
+    rgb = np.zeros((num_frames, height, width), np.float32)
+    depth = np.zeros((num_frames, height, width), np.float32)
+    flow = np.zeros((num_frames, height, width, 2), np.float32)
+    mask = np.zeros((num_frames, height, width), np.int32)
+
+    tex_phase = rng.uniform(0, 6.0, size=len(patches) + num_objects)
+    tex_freq = rng.uniform(6.0, 14.0, size=len(patches) + num_objects)
+
+    def world_patches(f: int) -> list[Patch]:
+        """All patches in world coords at frame f."""
+        out = list(patches)
+        for k, p in enumerate(obj_patches):
+            Tw = L[f, k]
+            out.append(
+                Patch(
+                    Tw[:3, :3] @ p.origin + Tw[:3, 3],
+                    Tw[:3, :3] @ p.eu,
+                    Tw[:3, :3] @ p.ev,
+                    p.label,
+                )
+            )
+        return out
+
+    def raycast(f: int):
+        """Returns per-pixel (z, label, patch_idx, a, b)."""
+        Twc = T_wc[f]
+        Rcw, tcw = _inv(Twc)[:3, :3], _inv(Twc)[:3, 3]
+        zbuf = np.full((height, width), np.inf)
+        lab = np.zeros((height, width), np.int32)
+        pidx = np.full((height, width), -1, np.int32)
+        aa = np.zeros((height, width))
+        bb = np.zeros((height, width))
+        cam_origin_w = Twc[:3, 3]
+        rays_w = rays_cam @ Twc[:3, :3].T  # rotate rays to world
+        for i, p in enumerate(world_patches(f)):
+            n = np.cross(p.eu, p.ev)
+            denom = rays_w @ n
+            num = (p.origin - cam_origin_w) @ n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = num / denom  # ray parameter
+            X = cam_origin_w + s[..., None] * rays_w
+            rel = X - p.origin
+            # patch coordinates via normal equations
+            G = np.array([[p.eu @ p.eu, p.eu @ p.ev], [p.eu @ p.ev, p.ev @ p.ev]])
+            Gi = np.linalg.inv(G)
+            pa = rel @ p.eu
+            pb = rel @ p.ev
+            a = Gi[0, 0] * pa + Gi[0, 1] * pb
+            b = Gi[1, 0] * pa + Gi[1, 1] * pb
+            zc = (X @ Rcw[2]) + tcw[2]  # z in camera frame
+            hit = (s > 0.1) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1) & (zc > 0.1)
+            closer = hit & (zc < zbuf)
+            zbuf = np.where(closer, zc, zbuf)
+            lab = np.where(closer, p.label, lab)
+            pidx = np.where(closer, i, pidx)
+            aa = np.where(closer, a, aa)
+            bb = np.where(closer, b, bb)
+        return zbuf, lab, pidx, aa, bb
+
+    n_bg = len(patches)
+    for f in range(num_frames):
+        zbuf, lab, pidx, aa, bb = raycast(f)
+        valid = np.isfinite(zbuf)
+        depth[f] = np.where(valid, zbuf, 0.0).astype(np.float32)
+        mask[f] = np.where(valid, lab, 0)
+        rgb[f] = np.where(
+            valid,
+            _checker(aa, bb, tex_freq[np.maximum(pidx, 0) % len(tex_freq)],
+                     tex_phase[np.maximum(pidx, 0) % len(tex_phase)]),
+            0.0,
+        ).astype(np.float32)
+
+        # forward flow to frame f+1: re-project each pixel's 3D point
+        if f + 1 < num_frames:
+            Twc = T_wc[f]
+            X_cam = rays_cam * zbuf[..., None]
+            X_w = X_cam @ Twc[:3, :3].T + Twc[:3, 3]
+            # move object points by their world motion H(f+1)
+            X_w_next = X_w.copy()
+            for k in range(num_objects):
+                m = lab == (k + 1)
+                H = Hs[f + 1, k]
+                X_w_next[m] = X_w[m] @ H[:3, :3].T + H[:3, 3]
+            Tcw_next = _inv(T_wc[f + 1])
+            X_c2 = X_w_next @ Tcw_next[:3, :3].T + Tcw_next[:3, 3]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u2 = fx * X_c2[..., 0] / X_c2[..., 2] + cx
+                v2 = fy * X_c2[..., 1] / X_c2[..., 2] + cy
+            fu = np.where(valid & (X_c2[..., 2] > 0.1), u2 - xs, 0.0)
+            fv = np.where(valid & (X_c2[..., 2] > 0.1), v2 - ys, 0.0)
+            # the reference treats exactly-zero flow as invalid (Frame.cc:119)
+            fu = np.where((fu == 0.0) & (fv == 0.0), 1e-4, fu)
+            flow[f] = np.stack([fu, fv], axis=-1).astype(np.float32)
+
+    return SyntheticScene(
+        rgb=rgb,
+        depth=depth,
+        flow=flow,
+        mask=mask,
+        T_wc_gt=T_wc.astype(np.float32),
+        obj_H_gt=Hs.astype(np.float32),
+        obj_pose_gt=L.astype(np.float32),
+        obj_labels=np.arange(1, num_objects + 1, dtype=np.int32),
+        K_mat=K.astype(np.float32),
+    )
