@@ -1,0 +1,205 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdo_slam_tpu.io.synthetic import make_scene
+from vdo_slam_tpu.ops import fast, frontend, image, select
+
+
+class TestSelect:
+    def test_masked_top_k(self):
+        score = jnp.array([5.0, 1.0, 9.0, 3.0, 7.0])
+        valid = jnp.array([True, True, False, True, True])
+        idx, ok = jax.jit(select.masked_top_k, static_argnums=2)(score, valid, 3)
+        assert list(np.asarray(idx)) == [4, 0, 3]
+        assert all(np.asarray(ok))
+
+    def test_masked_top_k_underfull(self):
+        score = jnp.array([1.0, 2.0])
+        valid = jnp.array([False, True])
+        idx, ok = select.masked_top_k(score, valid, 4)
+        assert list(np.asarray(ok)) == [True, False, False, False]
+
+    def test_compact(self):
+        valid = jnp.array([False, True, False, True, True])
+        perm, n = select.compact(valid)
+        assert int(n) == 3
+        assert list(np.asarray(valid)[np.asarray(perm)][:3]) == [True] * 3
+
+    def test_per_label_rank(self):
+        labels = jnp.array([2, 1, 2, 2, 1, 3])
+        valid = jnp.ones(6, bool)
+        r = select.per_label_rank(labels, valid)
+        assert list(np.asarray(r)) == [0, 0, 1, 2, 1, 0]
+
+    def test_quota_select(self):
+        labels = jnp.array([1, 1, 1, 2, 2, 3])
+        valid = jnp.ones(6, bool)
+        pri = jnp.array([0.1, 0.9, 0.5, 0.3, 0.7, 0.2])
+        idx, ok = select.quota_select(labels, valid, pri, quota=2, k=6)
+        chosen = set(np.asarray(idx)[np.asarray(ok)].tolist())
+        # label 1 keeps its top-2 priorities (idx 1, 2), label 2 both, label 3 one
+        assert chosen == {1, 2, 3, 4, 5}
+
+    def test_min_dist_to_set(self):
+        pts = jnp.array([[0.0, 0.0], [5.0, 0.0]])
+        ref = jnp.array([[1.0, 0.0], [100.0, 100.0]])
+        rv = jnp.array([True, True])
+        d = select.min_dist_to_set(pts, ref, rv)
+        np.testing.assert_allclose(np.asarray(d), [1.0, 4.0], atol=1e-5)
+
+
+class TestImageOps:
+    def test_preprocess_depth_kitti(self):
+        from vdo_slam_tpu.config import KITTI
+
+        raw = jnp.array([[256.0, 0.0, -3.0]])
+        d = image.preprocess_depth(raw, KITTI, bf=387.5744, depth_map_factor=256.0)
+        np.testing.assert_allclose(float(d[0, 0]), 387.5744, rtol=1e-5)
+        assert float(d[0, 1]) == 0.0 and float(d[0, 2]) == 0.0
+
+    def test_gather_int_truncation_and_bounds(self):
+        img = jnp.arange(12.0).reshape(3, 4)
+        uv = jnp.array([[1.9, 0.9], [3.0, 2.0], [-1.0, 0.0], [4.0, 0.0]])
+        out = image.gather_int(img, uv, fill=-7.0)
+        assert float(out[0]) == 1.0  # truncated to (1, 0)
+        assert float(out[1]) == 11.0
+        assert float(out[2]) == -7.0 and float(out[3]) == -7.0
+
+    def test_gather_bilinear(self):
+        img = jnp.array([[0.0, 1.0], [2.0, 3.0]])
+        out = image.gather_bilinear(img, jnp.array([[0.5, 0.5]]))
+        np.testing.assert_allclose(float(out[0]), 1.5, atol=1e-6)
+
+
+class TestFAST:
+    def _corner_image(self):
+        img = np.zeros((64, 64), np.float32)
+        img[20:44, 20:44] = 1.0  # bright square: 4 corners
+        return jnp.asarray(img)
+
+    def test_detects_square_corners(self):
+        img = self._corner_image()
+        score = fast.fast_score(img, 0.3)
+        nms = fast.nms3(score)
+        ys, xs = np.nonzero(np.asarray(nms))
+        pts = set(zip(ys.tolist(), xs.tolist()))
+        # all four square corners present (within 2px)
+        for cy, cx in [(20, 20), (20, 43), (43, 20), (43, 43)]:
+            assert any(abs(y - cy) <= 2 and abs(x - cx) <= 2 for y, x in pts), (cy, cx)
+
+    def test_flat_image_no_corners(self):
+        img = jnp.ones((64, 64)) * 0.5
+        assert float(fast.fast_score(img, 0.05).max()) == 0.0
+
+    def test_pyramid_shapes_and_validity(self):
+        scene = make_scene(num_frames=2, width=160, height=120, num_objects=1)
+        out = fast.detect_pyramid(
+            jnp.asarray(scene.rgb[0]), n_features=300, n_levels=3
+        )
+        assert out["xy"].shape[0] == out["score"].shape[0] == out["valid"].shape[0]
+        assert int(out["valid"].sum()) > 50  # textured scene has corners
+        xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+        assert xy[:, 0].max() < 160 and xy[:, 1].max() < 120
+
+    def test_grid_sample(self):
+        xy, valid = fast.grid_sample_keypoints(jax.random.PRNGKey(0), 120, 160, n=500)
+        assert xy.shape == (500, 2)
+        ok = np.asarray(xy)[np.asarray(valid)]
+        assert (ok[:, 0] < 160).all() and (ok[:, 1] < 120).all()
+
+
+class TestFrontend:
+    def setup_method(self):
+        self.scene = make_scene(num_frames=3, width=160, height=120, num_objects=2)
+
+    def test_static_candidates_avoid_objects(self):
+        s = self.scene
+        det = fast.detect_pyramid(jnp.asarray(s.rgb[0]), n_features=400, n_levels=2)
+        out = frontend.static_candidates(
+            det["xy"], det["valid"], det["score"],
+            jnp.asarray(s.depth[0]), jnp.asarray(s.flow[0]),
+            jnp.asarray(s.mask[0]), th_depth=40.0, k=300,
+        )
+        v = np.asarray(out["valid"])
+        assert v.sum() > 30
+        labels = np.asarray(
+            image.gather_int(jnp.asarray(s.mask[0]), out["xy"])
+        )[v]
+        assert (labels == 0).all()
+        d = np.asarray(out["depth"])[v]
+        assert (d > 0).all() and (d <= 40.0).all()
+
+    def test_object_candidates_cover_objects(self):
+        s = self.scene
+        out = frontend.object_candidates(
+            jnp.asarray(s.depth[0]), jnp.asarray(s.flow[0]),
+            jnp.asarray(s.mask[0]), th_depth_obj=25.0, step=4, k=1024,
+            quota=400, prng_key=jax.random.PRNGKey(0),
+        )
+        v = np.asarray(out["valid"])
+        labs = np.asarray(out["sem_label"])[v]
+        assert set(labs.tolist()) <= {1, 2}
+        assert (labs > 0).all()
+        assert v.sum() > 50
+
+    def test_scene_flow_static_object_is_zero(self):
+        # static world points seen from two GT poses -> zero scene flow
+        s = self.scene
+        from vdo_slam_tpu.geometry import se3
+
+        K = jnp.asarray([s.K_mat[0, 0], s.K_mat[1, 1], s.K_mat[0, 2], s.K_mat[1, 2]])
+        T0 = jnp.asarray(s.T_wc_gt[0])
+        T1 = jnp.asarray(s.T_wc_gt[1])
+        # pick a background pixel with valid flow in frame 0
+        ys, xs = np.nonzero((s.mask[0] == 0) & (s.depth[0] > 1))
+        i = len(ys) // 2
+        uv0 = jnp.asarray([[float(xs[i]), float(ys[i])]])
+        z0 = jnp.asarray([float(s.depth[0, ys[i], xs[i]])])
+        f = s.flow[0, ys[i], xs[i]]
+        uv1 = uv0 + jnp.asarray(f)
+        z1 = image.gather_int(jnp.asarray(s.depth[1]), uv1)
+        sf, _ = frontend.scene_flow_world(
+            uv0, z0, se3.inv(T0), uv1, z1, se3.inv(T1), K
+        )
+        assert float(jnp.linalg.norm(sf)) < 0.25  # int-gather quantization noise
+
+    def test_per_label_stats(self):
+        slots = jnp.array([0, 0, 1, -1, 1, 0])
+        valid = jnp.array([True, True, True, True, False, True])
+        xy = jnp.array([[5.0, 5.0], [100, 100], [10, 10], [0, 0], [1, 1], [150, 110]])
+        depth = jnp.ones(6) * 10.0
+        sf = jnp.zeros((6, 3)).at[0, 0].set(5.0)
+        st = frontend.per_label_stats(
+            slots, valid, xy, depth, sf, width=160, height=120, n_slots=2,
+            sf_mg_thres=0.12, shrink_row=25, shrink_col=50,
+        )
+        np.testing.assert_allclose(np.asarray(st["count"]), [3.0, 1.0])
+        # slot0: pts (5,5) boundary, (100,100) boundary (v>95), (150,110) boundary
+        assert float(st["sf_small"][0]) == 2.0  # one point has big sf
+        np.testing.assert_allclose(float(st["depth_sum"][1]), 10.0)
+
+    def test_mask_propagation_recovers_lost_mask(self):
+        s = self.scene
+        seg_last = jnp.asarray(s.mask[0])
+        flow_last = jnp.asarray(s.flow[0])
+        # simulate segmenter failure: label 1 missing in current frame
+        seg_cur_broken = jnp.where(jnp.asarray(s.mask[1]) == 1, 0, jnp.asarray(s.mask[1]))
+        # last-frame object features of label 1
+        oc = frontend.object_candidates(
+            jnp.asarray(s.depth[0]), flow_last, seg_last,
+            th_depth_obj=25.0, step=4, k=1024, quota=600,
+            prng_key=jax.random.PRNGKey(0),
+        )
+        table = jnp.asarray([1, 2, 0, 0], jnp.int32)
+        fixed, lost = frontend.propagate_mask(
+            seg_cur_broken, seg_last, flow_last, oc["corres"],
+            oc["sem_label"], oc["valid"], table, min_points=50,
+        )
+        lost = np.asarray(lost)
+        assert lost[0] and not lost[1]
+        # recovered mask overlaps the true current mask of label 1
+        true1 = np.asarray(s.mask[1]) == 1
+        rec1 = np.asarray(fixed) == 1
+        inter = (true1 & rec1).sum()
+        assert inter > 0.5 * true1.sum()

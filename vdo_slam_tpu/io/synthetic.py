@@ -79,13 +79,16 @@ class SyntheticScene:
     K_mat: np.ndarray        # (3, 3) intrinsics
 
 
-def _checker(a: np.ndarray, b: np.ndarray, freq: float, phase: float) -> np.ndarray:
-    """Smooth pseudo-texture over patch coords — gives FAST corners."""
-    return (
-        0.5
-        + 0.25 * np.sin(2 * np.pi * freq * a + phase)
-        + 0.25 * np.sin(2 * np.pi * (freq * 1.7) * b + 2.3 * phase)
-    )
+def _checker(a: np.ndarray, b: np.ndarray, freq_u: float, freq_v: float,
+             phase: float) -> np.ndarray:
+    """Checkerboard texture over patch coords — every cell corner is a FAST
+    corner, giving the detector dense, well-spread responses.  Frequencies
+    are per-patch and derived from metric size so corner density is roughly
+    constant per meter."""
+    ca = np.floor(a * freq_u + phase).astype(np.int64)
+    cb = np.floor(b * freq_v + 0.7 * phase).astype(np.int64)
+    base = ((ca + cb) % 2).astype(np.float64)
+    return 0.2 + 0.6 * base
 
 
 def make_scene(
@@ -93,8 +96,8 @@ def make_scene(
     width: int = 320,
     height: int = 240,
     num_objects: int = 2,
-    fx: float = 320.0,
-    fy: float = 320.0,
+    fx: float | None = None,
+    fy: float | None = None,
     seed: int = 0,
     cam_speed: float = 0.25,
     obj_speed: float = 0.5,
@@ -102,6 +105,8 @@ def make_scene(
 ) -> SyntheticScene:
     """Build a KITTI-like forward-driving scene with moving planar objects."""
     rng = np.random.default_rng(seed)
+    fx = float(width) if fx is None else fx  # ~53 deg horizontal FOV
+    fy = fx if fy is None else fy
     cx, cy = width / 2.0, height / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float64)
 
@@ -116,15 +121,27 @@ def make_scene(
         Patch(np.array([-40.0, 2.0, 110.0]), np.array([80.0, 0.0, 0.0]),
               np.array([0.0, -30.0, 0.0]), 0),
     ]
+    # static near-field "building facades" so the background has trackable
+    # corners inside the depth gate at every frame of the trajectory
+    bb_z = np.linspace(6.0, 95.0, 14)
+    for j, z in enumerate(bb_z):
+        side = -1.0 if j % 2 == 0 else 1.0
+        x0 = side * rng.uniform(5.0, 9.0)
+        w_, h_ = rng.uniform(3.0, 5.0), rng.uniform(3.0, 6.0)
+        patches.append(
+            Patch(np.array([x0 - w_ / 2, 1.8, z]), np.array([w_, 0.0, 0.0]),
+                  np.array([0.0, -h_, 0.0]), 0)
+        )
 
     # --- objects: upright planar "vehicles" ahead of the camera
     obj_patches: list[Patch] = []
     obj_T0: list[np.ndarray] = []
     obj_vel: list[np.ndarray] = []  # per-frame body twist (w, v)
     for k in range(num_objects):
-        x0 = rng.uniform(-4.0, 4.0)
-        z0 = rng.uniform(8.0, 16.0) + 6.0 * k
-        w_, h_ = rng.uniform(2.5, 3.5), rng.uniform(1.6, 2.2)
+        side = -1.0 if k % 2 == 0 else 1.0
+        x0 = side * rng.uniform(1.8, 3.2)
+        z0 = rng.uniform(10.0, 14.0) + 6.0 * k
+        w_, h_ = rng.uniform(2.2, 3.0), rng.uniform(1.5, 2.0)
         # object local frame at its centre; patch defined in LOCAL coords
         obj_patches.append(
             Patch(np.array([-w_ / 2, h_ / 2, 0.0]), np.array([w_, 0.0, 0.0]),
@@ -164,8 +181,13 @@ def make_scene(
     flow = np.zeros((num_frames, height, width, 2), np.float32)
     mask = np.zeros((num_frames, height, width), np.int32)
 
-    tex_phase = rng.uniform(0, 6.0, size=len(patches) + num_objects)
-    tex_freq = rng.uniform(6.0, 14.0, size=len(patches) + num_objects)
+    n_patches = len(patches) + num_objects
+    tex_phase = rng.uniform(0, 6.0, size=n_patches)
+    cells_per_m = rng.uniform(0.9, 1.4, size=n_patches)
+    all_sizes = [(np.linalg.norm(p.eu), np.linalg.norm(p.ev))
+                 for p in patches + obj_patches]
+    tex_freq_u = np.array([max(s[0] * c, 2.0) for s, c in zip(all_sizes, cells_per_m)])
+    tex_freq_v = np.array([max(s[1] * c, 2.0) for s, c in zip(all_sizes, cells_per_m)])
 
     def world_patches(f: int) -> list[Patch]:
         """All patches in world coords at frame f."""
@@ -224,10 +246,10 @@ def make_scene(
         valid = np.isfinite(zbuf)
         depth[f] = np.where(valid, zbuf, 0.0).astype(np.float32)
         mask[f] = np.where(valid, lab, 0)
+        pi = np.maximum(pidx, 0)
         rgb[f] = np.where(
             valid,
-            _checker(aa, bb, tex_freq[np.maximum(pidx, 0) % len(tex_freq)],
-                     tex_phase[np.maximum(pidx, 0) % len(tex_phase)]),
+            _checker(aa, bb, tex_freq_u[pi], tex_freq_v[pi], tex_phase[pi]),
             0.0,
         ).astype(np.float32)
 
