@@ -18,4 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax snapshots JAX_PLATFORMS into its config at import time; if something
+# (e.g. a TPU-plugin sitecustomize) imported jax before us, the env override
+# above is ignored — force the config value directly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
