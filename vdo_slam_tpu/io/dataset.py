@@ -36,7 +36,9 @@ class FrameData:
     depth_raw: np.ndarray    # (H, W) float32 (pre depth-map-factor transform)
     flow: np.ndarray         # (H, W, 2) float32
     mask: np.ndarray         # (H, W) int32
-    T_cw_gt: np.ndarray      # (4, 4) float32 world->camera GT
+    pose_gt_raw: np.ndarray  # (4, 4) float32 RAW pose_gt.txt row, i.e.
+                             # camera->world; the tracker inverts and
+                             # origin-normalizes it (Tracking.cc:320-331)
     obj_gt_rows: np.ndarray  # (n_obj, 10) float32 raw object_pose.txt rows
     timestamp: float
 
@@ -114,7 +116,7 @@ class SequenceDataset:
             depth_raw=depth,
             flow=flow,
             mask=mask,
-            T_cw_gt=self.poses_gt[i],
+            pose_gt_raw=self.poses_gt[i],
             obj_gt_rows=self.obj_by_frame[i],
             timestamp=self.timestamps[i],
         )
@@ -144,13 +146,13 @@ class SyntheticDataset:
     def __getitem__(self, i: int) -> FrameData:
         s = self.scene
         T_wc = s.T_wc_gt[i].astype(np.float64)
-        T_cw = np.eye(4, dtype=np.float32)
+        T_cw = np.eye(4, dtype=np.float64)
         T_cw[:3, :3] = T_wc[:3, :3].T
         T_cw[:3, 3] = -T_wc[:3, :3].T @ T_wc[:3, 3]
         rows = []
         for k, lab in enumerate(s.obj_labels):
             L_w = s.obj_pose_gt[i, k].astype(np.float64)
-            L_c = T_cw.astype(np.float64) @ L_w  # pose in camera frame
+            L_c = T_cw @ L_w  # pose in this frame's camera coordinates
             yaw = np.arctan2(L_c[0, 2], L_c[2, 2]) - np.pi / 2.0
             rows.append(
                 [i, float(lab), 0, 0, 10, 10,
@@ -161,7 +163,7 @@ class SyntheticDataset:
             depth_raw=self._depth_raw[i],
             flow=s.flow[i],
             mask=s.mask[i],
-            T_cw_gt=T_cw,
+            pose_gt_raw=T_wc.astype(np.float32),
             obj_gt_rows=np.asarray(rows, dtype=np.float32).reshape(-1, 10),
             timestamp=0.1 * i if i > 0 else 1e-3,
         )

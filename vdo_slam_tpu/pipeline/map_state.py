@@ -1,0 +1,139 @@
+"""Host-side global map archive + tracklet extraction.
+
+The functional equivalent of the reference Map (include/Map.h: append-only
+per-frame std::vector archives, no pruning, no keyframes) plus the tracklet
+builders Tracking::GetStaticTrack / GetDynamicTrackNew (Tracking.cc:
+2201-2421).  Lives on host as numpy — it is bookkeeping, not compute; the
+batch optimizer consumes it as padded index arrays.
+
+Conventions (matching the reference exactly):
+  * frame f arrays are the RENEWED feature banks of frame f (vpFeatSta[f]...)
+  * assoc[f][j] (f>=1) = index into frame f-1's bank continuing as feature j
+    of frame f's bank, or -1 (vnAssoSta/vnAssoDyn semantics)
+  * rigid_motions[f] (f>=1) = [camera motion, object motions...] in world
+    frame (vmRigidMotion), labels[f] = [0, model ids...] (vnRMLabel)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MapState:
+    # static features per frame
+    stat_xy: List[np.ndarray] = dataclasses.field(default_factory=list)
+    stat_depth: List[np.ndarray] = dataclasses.field(default_factory=list)
+    stat_3d: List[np.ndarray] = dataclasses.field(default_factory=list)
+    stat_valid: List[np.ndarray] = dataclasses.field(default_factory=list)
+    stat_assoc: List[np.ndarray] = dataclasses.field(default_factory=list)  # f>=1
+    # dynamic features per frame
+    dyn_xy: List[np.ndarray] = dataclasses.field(default_factory=list)
+    dyn_depth: List[np.ndarray] = dataclasses.field(default_factory=list)
+    dyn_3d: List[np.ndarray] = dataclasses.field(default_factory=list)
+    dyn_valid: List[np.ndarray] = dataclasses.field(default_factory=list)
+    dyn_assoc: List[np.ndarray] = dataclasses.field(default_factory=list)   # f>=1
+    dyn_obj_label: List[np.ndarray] = dataclasses.field(default_factory=list)
+    dyn_sem_label: List[np.ndarray] = dataclasses.field(default_factory=list)
+    # camera poses (camera->world, vmCameraPose conventions)
+    cam_pose: List[np.ndarray] = dataclasses.field(default_factory=list)
+    cam_pose_rf: List[np.ndarray] = dataclasses.field(default_factory=list)
+    cam_pose_gt: List[np.ndarray] = dataclasses.field(default_factory=list)
+    # rigid motions per frame f>=1: index 0 = camera, then objects
+    rigid_motion: List[List[np.ndarray]] = dataclasses.field(default_factory=list)
+    rigid_motion_rf: List[List[np.ndarray]] = dataclasses.field(default_factory=list)
+    rigid_motion_gt: List[List[np.ndarray]] = dataclasses.field(default_factory=list)
+    obj_pose_pre: List[List[np.ndarray]] = dataclasses.field(default_factory=list)
+    rm_label: List[List[int]] = dataclasses.field(default_factory=list)
+    sem_label: List[List[int]] = dataclasses.field(default_factory=list)
+    sm_label_gt: List[List[int]] = dataclasses.field(default_factory=list)
+    obj_stat: List[List[bool]] = dataclasses.field(default_factory=list)
+    speed_gt: List[List[float]] = dataclasses.field(default_factory=list)
+    speed_est: List[List[float]] = dataclasses.field(default_factory=list)
+    centres: List[List[np.ndarray]] = dataclasses.field(default_factory=list)
+    # observability (SURVEY §5.1): per-frame stage timings + local BA times
+    timings: List[np.ndarray] = dataclasses.field(default_factory=list)
+    lba_times: List[float] = dataclasses.field(default_factory=list)
+    # tracklets (built lazily)
+    tracklets_static: list | None = None
+    tracklets_dynamic: list | None = None
+    tracklet_obj_id: list | None = None
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.cam_pose)
+
+
+def build_tracklets(assoc: List[np.ndarray], valid: List[np.ndarray],
+                    obj_label: List[np.ndarray] | None = None):
+    """Chain per-frame associations into tracklets.
+
+    Equivalent to GetStaticTrack / GetDynamicTrackNew (Tracking.cc:2201-2421)
+    but vectorized per frame: track ids propagate through assoc indices.
+
+    assoc[f] (f=0..F-2) maps features of frame f+1 to indices of frame f
+    (i.e. MapState.*_assoc[1:]).  Returns (tracklets, obj_ids):
+    tracklets = list of [(frame, feat_idx), ...]; obj_ids = per-tracklet
+    object label (first feature's label) or None for static.
+    """
+    F = len(assoc) + 1
+    tracks: list[list[tuple[int, int]]] = []
+    obj_ids: list[int] = []
+    tid_prev = None  # track id per feature of previous frame, -1 none
+
+    for f in range(F - 1):
+        a = np.asarray(assoc[f])
+        v = np.asarray(valid[f + 1]) if valid is not None else np.ones_like(a, bool)
+        n_cur = a.shape[0]
+        tid_cur = np.full(n_cur, -1, np.int64)
+        has_assoc = (a >= 0) & v
+        idxs = np.nonzero(has_assoc)[0]
+        for j in idxs:  # rows with association (vectorizing gains little here)
+            pa = int(a[j])
+            if f > 0 and tid_prev is not None and tid_prev[pa] >= 0:
+                t = int(tid_prev[pa])
+                tracks[t].append((f + 1, int(j)))
+                tid_cur[j] = t
+            else:
+                tracks.append([(f, pa), (f + 1, int(j))])
+                if obj_label is not None:
+                    obj_ids.append(int(np.asarray(obj_label[f + 1])[j]))
+                tid_cur[j] = len(tracks) - 1
+        tid_prev = tid_cur
+
+    return tracks, (obj_ids if obj_label is not None else None)
+
+
+def track_length_histogram(tracks: list, max_frames: int) -> np.ndarray:
+    """Tracklet-length distribution (written to track_distribution*.txt by the
+    reference, Tracking.cc:2293-2304)."""
+    hist = np.zeros(max_frames + 1, np.int64)
+    for t in tracks:
+        hist[min(len(t), max_frames)] += 1
+    return hist
+
+
+def object_track_time(rm_label: List[List[int]], sem_label: List[List[int]],
+                      sm_label_gt: List[List[int]], max_id: int):
+    """Per-object tracking counts (GetObjTrackTime, Tracking.cc:2423-2495).
+
+    Returns (track_count, track_count_gt, semantic_label) arrays of length
+    max_id-1 (per unique motion label).
+    """
+    track_count = np.zeros(max(max_id - 1, 0), np.int64)
+    track_count_gt = np.zeros_like(track_count)
+    semantic = np.zeros_like(track_count)
+    for frame_labels, frame_sems in zip(rm_label, sem_label):
+        for lab, sem in zip(frame_labels[1:], frame_sems[1:]):
+            if 1 <= lab <= len(track_count):
+                track_count[lab - 1] += 1
+                semantic[lab - 1] = sem
+    for gts in sm_label_gt:
+        for g in gts:
+            hits = np.nonzero(semantic == g)[0]
+            if hits.size:
+                track_count_gt[hits[0]] += 1
+    return track_count, track_count_gt, semantic

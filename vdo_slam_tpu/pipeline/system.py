@@ -1,0 +1,70 @@
+"""Public API facade — the equivalent of the reference System class
+(include/System.h, src/System.cc):
+
+    sys = System(cfg_or_settings_yaml)          # System::System
+    T_cw = sys.track_rgbd(frame_data)           # System::TrackRGBD
+    sys.save_results(out_dir)                   # System::SaveResults
+    sys.run_sequence(dataset)                   # example/vdo_slam.cc main loop
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import VDOConfig, load_settings
+from ..eval import results as results_mod
+from ..io.dataset import FrameData
+from .map_state import MapState
+from .tracking import Tracker
+
+
+class System:
+    def __init__(self, cfg: VDOConfig | str | Path, enable_local_ba: bool = True,
+                 enable_global_ba: bool = True):
+        if not isinstance(cfg, VDOConfig):
+            cfg = load_settings(cfg)
+        self.cfg = cfg
+        self.map = MapState()
+        self.tracker = Tracker(cfg, self.map)
+        self.enable_global_ba = enable_global_ba
+        if enable_local_ba:
+            from ..backend.window_ba import local_ba_inplace
+
+            self.tracker.local_ba_hook = lambda m: local_ba_inplace(m, cfg)
+
+    def track_rgbd(self, fd: FrameData) -> dict:
+        """Feed one frame; returns the frame report incl. the pose estimate."""
+        return self.tracker.grab_frame(fd)
+
+    def run_sequence(self, dataset, max_frames: int | None = None,
+                     verbose: bool = False) -> list[dict]:
+        """Demo-driver loop (example/vdo_slam.cc:98-141)."""
+        n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
+        reports = []
+        for i in range(n):
+            rep = self.track_rgbd(dataset[i])
+            if verbose and "t_rpe" in rep:
+                print(
+                    f"frame {i}: rpe t={rep['t_rpe']:.4f} r={rep['r_rpe']:.4f} "
+                    f"inliers={rep['n_inlier_cam']} objs="
+                    f"{[(o['model_label'], round(o['speed'], 1)) for o in rep['objects'] if o['status']]}"
+                )
+            reports.append(rep)
+        # final-frame global refinement (Tracking.cc:1190-1208, KITTI only in
+        # the reference; here gated by enable_global_ba)
+        if self.enable_global_ba and self.map.num_frames > 2:
+            from ..backend.full_ba import full_ba_inplace
+
+            full_ba_inplace(self.map, self.cfg)
+        return reports
+
+    def metrics(self, refined: bool = False) -> dict:
+        return results_mod.metric_report(self.map, refined=refined)
+
+    def timing(self) -> dict:
+        return results_mod.timing_summary(self.map)
+
+    def save_results(self, out_dir: str | Path) -> None:
+        results_mod.save_results(self.map, out_dir)
