@@ -1,0 +1,255 @@
+"""Backend factor-graph tests: residual conventions, LM convergence on
+synthetic graphs, and the windowed/full BA improving a perturbed archive."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vdo_slam_tpu.backend.factor_graph import (
+    Graph, LMParams, Variables, lm_solve, residuals, robust_cost,
+)
+from vdo_slam_tpu.geometry import se3
+
+
+def make_empty_graph(**over):
+    base = dict(
+        obs_pose=np.zeros(1, np.int32), obs_point=np.zeros(1, np.int32),
+        obs_meas=np.zeros((1, 3), np.float32), obs_w=np.zeros(1, np.float32),
+        odo_a=np.zeros(1, np.int32), odo_b=np.zeros(1, np.int32),
+        odo_meas_inv=np.eye(4, dtype=np.float32)[None],
+        odo_w=np.zeros(1, np.float32),
+        pri_idx=np.zeros(1, np.int32),
+        pri_meas_inv=np.eye(4, dtype=np.float32)[None],
+        pri_w=np.zeros(1, np.float32),
+        smo_a=np.zeros(1, np.int32), smo_b=np.zeros(1, np.int32),
+        smo_w=np.zeros(1, np.float32),
+        ter_prev=np.zeros(1, np.int32), ter_cur=np.zeros(1, np.int32),
+        ter_mot=np.zeros(1, np.int32), ter_w=np.zeros(1, np.float32),
+        alt_mot=np.zeros(1, np.int32), alt_w=np.zeros(1, np.float32),
+    )
+    base.update(over)
+    return Graph(**{k: jnp.asarray(v) for k, v in base.items()})
+
+
+def rand_pose(key, s=0.3):
+    return se3.exp(jax.random.uniform(key, (6,), minval=-s, maxval=s))
+
+
+class TestResiduals:
+    def test_obs_residual_zero_at_truth(self):
+        T = rand_pose(jax.random.PRNGKey(0))
+        X_w = jnp.asarray([1.0, 2.0, 8.0])
+        meas = se3.apply(se3.inv(T), X_w)
+        g = make_empty_graph(
+            obs_pose=np.zeros(1, np.int32), obs_point=np.zeros(1, np.int32),
+            obs_meas=np.asarray(meas)[None], obs_w=np.ones(1, np.float32),
+        )
+        v = Variables(poses=T[None], motions=jnp.eye(4)[None],
+                      points=X_w[None])
+        r = residuals(g, v)[0]
+        assert float(jnp.abs(r).max()) < 1e-5
+
+    def test_ternary_residual_zero_when_consistent(self):
+        H = rand_pose(jax.random.PRNGKey(1))
+        Xp = jnp.asarray([0.5, -1.0, 6.0])
+        Xc = se3.apply(H, Xp)
+        g = make_empty_graph(
+            ter_prev=np.asarray([0], np.int32),
+            ter_cur=np.asarray([1], np.int32),
+            ter_mot=np.asarray([0], np.int32),
+            ter_w=np.ones(1, np.float32),
+        )
+        v = Variables(poses=jnp.eye(4)[None], motions=H[None],
+                      points=jnp.stack([Xp, Xc]))
+        r = residuals(g, v)[4]
+        assert float(jnp.abs(r).max()) < 1e-5
+
+    def test_odo_residual_zero_at_truth(self):
+        Ta = rand_pose(jax.random.PRNGKey(2))
+        Tb = rand_pose(jax.random.PRNGKey(3))
+        M = se3.inv(Ta) @ Tb
+        g = make_empty_graph(
+            odo_a=np.asarray([0], np.int32), odo_b=np.asarray([1], np.int32),
+            odo_meas_inv=np.asarray(se3.inv(M))[None],
+            odo_w=np.ones(1, np.float32),
+        )
+        v = Variables(poses=jnp.stack([Ta, Tb]), motions=jnp.eye(4)[None],
+                      points=jnp.zeros((1, 3)))
+        r = residuals(g, v)[1]
+        assert float(jnp.abs(r).max()) < 1e-4
+
+
+class TestLM:
+    def _pose_chain_problem(self, F=6, P=60, seed=0, noise=0.02):
+        """Ground-truth chain of poses observing random static points."""
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 8)
+        poses_gt = [jnp.eye(4)]
+        step = se3.exp(jnp.asarray([0.0, 0.02, 0.0, 0.05, 0.0, 0.4]))
+        for _ in range(F - 1):
+            poses_gt.append(poses_gt[-1] @ step)
+        poses_gt = jnp.stack(poses_gt)  # camera->world
+        pts_gt = jnp.stack([
+            jax.random.uniform(ks[0], (P,), minval=-8.0, maxval=8.0),
+            jax.random.uniform(ks[1], (P,), minval=-3.0, maxval=3.0),
+            jax.random.uniform(ks[2], (P,), minval=6.0, maxval=28.0),
+        ], axis=-1)
+        obs_pose, obs_point, obs_meas = [], [], []
+        for f in range(F):
+            Xc = se3.apply(se3.inv(poses_gt[f]), pts_gt)
+            for j in range(P):
+                obs_pose.append(f)
+                obs_point.append(j)
+                obs_meas.append(np.asarray(Xc[j]))
+        odo_meas_inv = [
+            np.asarray(se3.inv(se3.inv(poses_gt[i]) @ poses_gt[i + 1]))
+            for i in range(F - 1)
+        ]
+        g = make_empty_graph(
+            obs_pose=np.asarray(obs_pose, np.int32),
+            obs_point=np.asarray(obs_point, np.int32),
+            obs_meas=np.stack(obs_meas),
+            obs_w=np.full(len(obs_pose), 1.0 / 16.0, np.float32),
+            odo_a=np.arange(F - 1, dtype=np.int32),
+            odo_b=np.arange(1, F, dtype=np.int32),
+            odo_meas_inv=np.stack(odo_meas_inv),
+            odo_w=np.full(F - 1, 1e4, np.float32),
+            pri_idx=np.zeros(1, np.int32),
+            pri_meas_inv=np.eye(4, dtype=np.float32)[None],
+            pri_w=np.asarray([1e5], np.float32),
+        )
+        # perturb
+        kp, kx = jax.random.split(ks[3])
+        dpose = jax.random.uniform(kp, (F, 6), minval=-noise, maxval=noise)
+        dpose = dpose.at[0].set(0.0)
+        poses0 = poses_gt @ se3.exp(dpose)
+        pts0 = pts_gt + noise * 5 * jax.random.normal(kx, pts_gt.shape)
+        v0 = Variables(poses=poses0, motions=jnp.eye(4)[None], points=pts0)
+        return g, v0, poses_gt, pts_gt
+
+    def test_cost_decreases_and_poses_recover(self):
+        g, v0, poses_gt, pts_gt = self._pose_chain_problem()
+        p = LMParams(iters=30, cg_iters=100, robust=False)
+        v, info = lm_solve(g, v0, p)
+        assert float(info["cost"]) < 0.05 * float(info["cost0"])
+        err = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            v.poses, poses_gt))
+        assert np.abs(err).max() < 5e-3, np.abs(err).max()
+
+    def test_huber_suppresses_outlier_observations(self):
+        g, v0, poses_gt, pts_gt = self._pose_chain_problem()
+        # corrupt a handful of observation measurements grossly
+        meas = np.asarray(g.obs_meas).copy()
+        meas[:10] += 50.0
+        g = g.replace(obs_meas=jnp.asarray(meas))
+        p = LMParams(iters=20, cg_iters=60, robust=True, huber_delta=0.1)
+        v, info = lm_solve(g, v0, p)
+        err = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            v.poses, poses_gt))
+        assert np.abs(err).max() < 2e-2, np.abs(err).max()
+
+    def test_motion_vertices_recover_object_motion(self):
+        """Two dynamic points moved by a GT motion H across 3 frames; motion
+        vertices start at identity (as the reference initializes them)."""
+        H_gt = se3.exp(jnp.asarray([0.0, 0.03, 0.0, 0.3, 0.0, 0.6]))
+        X0 = jnp.asarray([[1.0, 0.5, 9.0], [-1.0, 0.2, 10.0], [0.3, -0.4, 11.0]])
+        X1 = se3.apply(H_gt, X0)
+        X2 = se3.apply(H_gt, X1)
+        pts = jnp.concatenate([X0, X1, X2], axis=0)  # vertices per obs
+        F = 3
+        poses = jnp.stack([jnp.eye(4)] * F)  # static camera
+        obs_pose = np.repeat(np.arange(3, dtype=np.int32), 3)
+        obs_point = np.arange(9, dtype=np.int32)
+        obs_meas = np.asarray(pts)  # camera at origin: meas = world coords
+        g = make_empty_graph(
+            obs_pose=obs_pose, obs_point=obs_point, obs_meas=obs_meas,
+            obs_w=np.full(9, 1.0 / 80.0, np.float32),
+            ter_prev=np.asarray([0, 1, 2, 3, 4, 5], np.int32),
+            ter_cur=np.asarray([3, 4, 5, 6, 7, 8], np.int32),
+            ter_mot=np.asarray([0, 0, 0, 1, 1, 1], np.int32),
+            ter_w=np.full(6, 1.0 / 100.0, np.float32),
+            smo_a=np.asarray([0], np.int32), smo_b=np.asarray([1], np.int32),
+            smo_w=np.asarray([1e3], np.float32),
+            pri_idx=np.zeros(1, np.int32),
+            pri_meas_inv=np.eye(4, dtype=np.float32)[None],
+            pri_w=np.asarray([1e5], np.float32),
+            # the camera chain must be pinned (odometry, identity motion),
+            # otherwise poses can absorb the object motion (gauge freedom)
+            odo_a=np.asarray([0, 1], np.int32),
+            odo_b=np.asarray([1, 2], np.int32),
+            odo_meas_inv=np.stack([np.eye(4, dtype=np.float32)] * 2),
+            odo_w=np.full(2, 1e4, np.float32),
+        )
+        v0 = Variables(
+            poses=poses,
+            motions=jnp.stack([jnp.eye(4)] * 2),   # identity init like ref
+            points=pts + 0.05,
+        )
+        p = LMParams(iters=40, cg_iters=80, robust=False)
+        v, info = lm_solve(g, v0, p)
+        for k in range(2):
+            err = se3.log(se3.inv(v.motions[k]) @ H_gt)
+            assert float(jnp.linalg.norm(err)) < 2e-2, (k, err)
+
+
+@pytest.fixture(scope="module")
+def tracked_map():
+    """A tracked synthetic sequence to feed the real BA builders."""
+    from tests.test_pipeline_e2e import small_config
+    from vdo_slam_tpu.io.dataset import SyntheticDataset
+    from vdo_slam_tpu.io.synthetic import make_scene
+    from vdo_slam_tpu.pipeline import System
+
+    scene = make_scene(num_frames=8, width=320, height=240, num_objects=2,
+                       seed=3)
+    cfg = small_config(scene)
+    ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+    sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+    sysm.run_sequence(ds)
+    return sysm, scene, cfg
+
+
+class TestWindowBA:
+    def test_local_ba_runs_and_reduces_cost(self, tracked_map):
+        from vdo_slam_tpu.backend.window_ba import local_ba_inplace
+
+        sysm, scene, cfg = tracked_map
+        import copy
+
+        m = copy.deepcopy(sysm.map)
+        info = local_ba_inplace(m, cfg, window=6, iters=10)
+        assert info["n_points"] > 50
+        assert info["cost"] <= info["cost0"]
+
+    def test_local_ba_does_not_degrade_accuracy(self, tracked_map):
+        from vdo_slam_tpu.backend.window_ba import local_ba_inplace
+        from vdo_slam_tpu.eval.results import metric_report
+        import copy
+
+        sysm, scene, cfg = tracked_map
+        m = copy.deepcopy(sysm.map)
+        before = metric_report(m)
+        local_ba_inplace(m, cfg, window=6, iters=10)
+        after = metric_report(m)
+        assert after["cam_t_rpe"] < before["cam_t_rpe"] * 1.5 + 1e-4
+
+
+class TestFullBA:
+    def test_full_ba_runs_and_writes_rf(self, tracked_map):
+        from vdo_slam_tpu.backend.full_ba import full_ba_inplace
+        from vdo_slam_tpu.eval.results import metric_report
+        import copy
+
+        sysm, scene, cfg = tracked_map
+        m = copy.deepcopy(sysm.map)
+        info = full_ba_inplace(m, cfg, iters=15)
+        assert info["cost"] <= info["cost0"]
+        assert info["n_motions"] >= 2
+        assert info["n_dyn"] > 20
+        rep = metric_report(m, refined=True)
+        rep0 = metric_report(m, refined=False)
+        # refined estimates stay in the same accuracy class
+        assert rep["cam_t_rpe"] < rep0["cam_t_rpe"] * 2 + 5e-3
+        assert rep["obj_t_rpe"] < rep0["obj_t_rpe"] * 2 + 0.05

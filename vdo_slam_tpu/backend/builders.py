@@ -1,0 +1,275 @@
+"""Host-side graph assembly from the MapState archive.
+
+Replicates the graph construction of Optimizer::PartialBatchOptimization
+(Optimizer.cc:42-1230, static-only window) and FullBatchOptimization
+(Optimizer.cc:1232-2175, full dynamic graph) as padded numpy index arrays
+consumed by factor_graph.lm_solve.  Shapes are bucket-rounded so repeated
+window solves reuse the same compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import VDOConfig
+from ..pipeline.map_state import MapState, build_tracklets
+from .factor_graph import Graph, Variables
+
+
+def _bucket(n: int, step: int = 1024) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _unproject_np(xy, depth, cfg: VDOConfig):
+    c = cfg.camera
+    x = (xy[..., 0] - c.cx) * depth / c.fx
+    y = (xy[..., 1] - c.cy) * depth / c.fy
+    return np.stack([x, y, depth], axis=-1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class GraphMeta:
+    """Bookkeeping to write optimized values back into the MapState."""
+
+    frame_ids: list               # graph pose idx -> map frame id
+    static_tracks: list           # per point-vertex: [(frame, feat), ...]
+    n_static_points: int
+    dyn_obs: list                 # per dyn point-vertex: (frame, feat)
+    motion_slots: list            # per motion vertex: (frame_pair_idx, obj_j)
+    n_poses: int
+    n_motions: int
+
+
+def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
+    """Pad edge lists to bucketed sizes with zero-weight dummy edges."""
+    def pad_idx(a, n):
+        a = np.asarray(a, np.int32).reshape(-1)
+        out = np.zeros(n, np.int32)
+        out[: a.size] = a
+        return out
+
+    def pad_f(a, n, shape=()):
+        a = np.asarray(a, np.float32).reshape((-1,) + shape)
+        out = np.zeros((n,) + shape, np.float32)
+        if shape == (4, 4):
+            out[:] = np.eye(4, dtype=np.float32)
+        out[: a.shape[0]] = a
+        return out
+
+    E = _bucket(len(parts["obs_pose"]), bucket)
+    Eo = _bucket(len(parts["odo_a"]), 64)
+    Ep = max(len(parts["pri_idx"]), 1)
+    Es = _bucket(len(parts["smo_a"]), 64)
+    Et = _bucket(len(parts["ter_prev"]), bucket)
+    Ea = max(len(parts["alt_mot"]), 1)
+
+    return Graph(
+        obs_pose=pad_idx(parts["obs_pose"], E),
+        obs_point=pad_idx(parts["obs_point"], E),
+        obs_meas=pad_f(parts["obs_meas"], E, (3,)),
+        obs_w=pad_f(parts["obs_w"], E),
+        odo_a=pad_idx(parts["odo_a"], Eo),
+        odo_b=pad_idx(parts["odo_b"], Eo),
+        odo_meas_inv=pad_f(parts["odo_meas_inv"], Eo, (4, 4)),
+        odo_w=pad_f(parts["odo_w"], Eo),
+        pri_idx=pad_idx(parts["pri_idx"], Ep),
+        pri_meas_inv=pad_f(parts["pri_meas_inv"], Ep, (4, 4)),
+        pri_w=pad_f(parts["pri_w"], Ep),
+        smo_a=pad_idx(parts["smo_a"], Es),
+        smo_b=pad_idx(parts["smo_b"], Es),
+        smo_w=pad_f(parts["smo_w"], Es),
+        ter_prev=pad_idx(parts["ter_prev"], Et),
+        ter_cur=pad_idx(parts["ter_cur"], Et),
+        ter_mot=pad_idx(parts["ter_mot"], Et),
+        ter_w=pad_f(parts["ter_w"], Et),
+        alt_mot=pad_idx(parts["alt_mot"], Ea),
+        alt_w=pad_f(parts["alt_w"], Ea),
+    )
+
+
+def _np_inv(T):
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = T[:3, :3].T
+    out[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+    return out
+
+
+def _empty_parts():
+    return {k: [] for k in (
+        "obs_pose obs_point obs_meas obs_w odo_a odo_b odo_meas_inv odo_w "
+        "pri_idx pri_meas_inv pri_w smo_a smo_b smo_w "
+        "ter_prev ter_cur ter_mot ter_w alt_mot alt_w".split()
+    )}
+
+
+def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None):
+    """Static-only windowed graph (PartialBatchOptimization semantics:
+    camera chain + prior + static points of tracklets that START inside the
+    window with length >= 3; STATIC_ONLY=true per Optimizer.cc:211)."""
+    be = cfg.backend
+    N = m.num_frames
+    W = min(window or cfg.tracking.window_size, N)
+    start = N - W
+    frames = list(range(start, N))
+    pose_of = {f: i for i, f in enumerate(frames)}
+
+    tracks, _ = build_tracklets(m.stat_assoc, m.stat_valid)
+    sel = [t for t in tracks
+           if len(t) >= be.track_len_thres and t[0][0] >= start]
+
+    parts = _empty_parts()
+    pts = []
+    meta_tracks = []
+    for pid, t in enumerate(sel):
+        f0, j0 = t[0]
+        pts.append(m.stat_3d[f0][j0])
+        meta_tracks.append(t)
+        for (f, j) in t:
+            if f not in pose_of:
+                continue
+            parts["obs_pose"].append(pose_of[f])
+            parts["obs_point"].append(pid)
+            parts["obs_meas"].append(
+                _unproject_np(m.stat_xy[f][j], m.stat_depth[f][j], cfg)
+            )
+            parts["obs_w"].append(1.0 / be.local_sigma2_3d_sta)
+
+    for i in range(1, W):
+        f = frames[i]
+        parts["odo_a"].append(i - 1)
+        parts["odo_b"].append(i)
+        parts["odo_meas_inv"].append(_np_inv(m.rigid_motion[f - 1][0]))
+        parts["odo_w"].append(1.0 / be.local_sigma2_cam)
+
+    # gauge anchor on the first window pose (the reference only anchors the
+    # very first window, Optimizer.cc:186-196; an anchor at the current
+    # estimate is gauge-equivalent and better conditioned for PCG)
+    parts["pri_idx"].append(0)
+    parts["pri_meas_inv"].append(_np_inv(m.cam_pose[frames[0]]))
+    parts["pri_w"].append(be.prior_information)
+
+    P = max(len(pts), 1)
+    variables = Variables(
+        poses=np.stack([m.cam_pose[f] for f in frames]).astype(np.float32),
+        motions=np.eye(4, dtype=np.float32)[None],
+        points=(np.stack(pts).astype(np.float32).reshape(-1, 3)
+                if pts else np.zeros((1, 3), np.float32)),
+    )
+    graph = _pad_graph(parts, W, 1, 1024)
+    meta = GraphMeta(
+        frame_ids=frames, static_tracks=meta_tracks, n_static_points=len(pts),
+        dyn_obs=[], motion_slots=[], n_poses=W, n_motions=1,
+    )
+    return graph, variables, meta
+
+
+def build_full_graph(m: MapState, cfg: VDOConfig):
+    """Full dynamic graph (FullBatchOptimization semantics, Optimizer.cc:
+    1232-1935): all camera poses + prior, static tracklets (len >= 3),
+    identity-initialized per-frame-per-object motion vertices, a NEW dynamic
+    point vertex per observation, ternary motion edges along dynamic
+    tracklets, smoothness between consecutive motions of one object."""
+    be = cfg.backend
+    N = m.num_frames
+    parts = _empty_parts()
+
+    # ---- poses: chain + prior
+    for f in range(1, N):
+        parts["odo_a"].append(f - 1)
+        parts["odo_b"].append(f)
+        parts["odo_meas_inv"].append(_np_inv(m.rigid_motion[f - 1][0]))
+        parts["odo_w"].append(1.0 / be.full_sigma2_cam)
+    parts["pri_idx"].append(0)
+    parts["pri_meas_inv"].append(_np_inv(m.cam_pose[0]))
+    parts["pri_w"].append(be.prior_information)
+
+    # ---- static points
+    pts = []
+    meta_tracks = []
+    tracks, _ = build_tracklets(m.stat_assoc, m.stat_valid)
+    for t in tracks:
+        if len(t) < be.track_len_thres:
+            continue
+        pid = len(pts)
+        f0, j0 = t[0]
+        pts.append(m.stat_3d[f0][j0])
+        meta_tracks.append(t)
+        for (f, j) in t:
+            parts["obs_pose"].append(f)
+            parts["obs_point"].append(pid)
+            parts["obs_meas"].append(
+                _unproject_np(m.stat_xy[f][j], m.stat_depth[f][j], cfg)
+            )
+            parts["obs_w"].append(1.0 / be.full_sigma2_3d_sta)
+    n_static = len(pts)
+
+    # ---- motion vertices: one per (frame f>=1, object j>=1), init identity
+    # (Optimizer.cc:1575-1582) + smoothness to the previous frame's vertex of
+    # the same label (1593-1623) + optional altitude prior
+    motion_of = {}
+    motion_slots = []
+    for fp in range(len(m.rigid_motion)):        # fp = frame pair (fp -> fp+1)
+        labels = m.rm_label[fp]
+        for j in range(1, len(labels)):
+            mid = len(motion_slots)
+            motion_of[(fp, labels[j])] = mid
+            motion_slots.append((fp, j))
+            if be.altitude_constraint:
+                parts["alt_mot"].append(mid)
+                parts["alt_w"].append(1.0 / be.full_sigma2_alti)
+            if be.smooth_constraint and fp > 0:
+                prev = motion_of.get((fp - 1, labels[j]))
+                if prev is not None:
+                    parts["smo_a"].append(prev)
+                    parts["smo_b"].append(mid)
+                    parts["smo_w"].append(1.0 / be.full_sigma2_obj_smo)
+    n_motions = max(len(motion_slots), 1)
+
+    # ---- dynamic points: a NEW vertex per observation (never merged,
+    # Optimizer.cc:1672-1746), obs edge to its frame, ternary edge to the
+    # previous observation through the motion vertex
+    dtracks, dobj = build_tracklets(m.dyn_assoc, m.dyn_valid, m.dyn_obj_label)
+    dyn_obs = []
+    for t, obj_id in zip(dtracks, dobj):
+        if len(t) < be.track_len_thres or obj_id <= 0:
+            continue
+        prev_vertex = None
+        for k, (f, j) in enumerate(t):
+            if k > 0:
+                mid = motion_of.get((f - 1, obj_id))
+                if mid is None:
+                    # no motion vertex for this transition: reference skips
+                    # the observation entirely (Optimizer.cc:1786-1789)
+                    prev_vertex = None
+                    continue
+            pid = n_static + len(dyn_obs)
+            pts.append(m.dyn_3d[f][j])
+            dyn_obs.append((f, j))
+            parts["obs_pose"].append(f)
+            parts["obs_point"].append(pid)
+            parts["obs_meas"].append(
+                _unproject_np(m.dyn_xy[f][j], m.dyn_depth[f][j], cfg)
+            )
+            parts["obs_w"].append(1.0 / be.full_sigma2_3d_dyn)
+            if k > 0 and prev_vertex is not None:
+                parts["ter_prev"].append(prev_vertex)
+                parts["ter_cur"].append(pid)
+                parts["ter_mot"].append(mid)
+                parts["ter_w"].append(1.0 / be.full_sigma2_obj)
+            prev_vertex = pid
+
+    variables = Variables(
+        poses=np.stack(m.cam_pose).astype(np.float32),
+        motions=np.tile(np.eye(4, dtype=np.float32), (n_motions, 1, 1)),
+        points=(np.stack(pts).astype(np.float32).reshape(-1, 3)
+                if pts else np.zeros((1, 3), np.float32)),
+    )
+    graph = _pad_graph(parts, N, n_motions, 4096)
+    meta = GraphMeta(
+        frame_ids=list(range(N)), static_tracks=meta_tracks,
+        n_static_points=n_static, dyn_obs=dyn_obs, motion_slots=motion_slots,
+        n_poses=N, n_motions=n_motions,
+    )
+    return graph, variables, meta

@@ -1,0 +1,66 @@
+"""Windowed (local) bundle adjustment — PartialBatchOptimization equivalent.
+
+Static-only sliding-window refinement (Optimizer.cc:42-1230, STATIC_ONLY=true
+at :211): refines the last WINDOW_SIZE camera poses + static points, then
+writes them back in place and recomputes the camera motions
+(Optimizer.cc:1055-1144).  Triggered every WINDOW_SIZE-OVERLAP_SIZE frames
+by the tracker (Tracking.cc:1168-1183).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import VDOConfig
+from ..pipeline.map_state import MapState
+from .builders import build_window_graph
+from .factor_graph import LMParams, Variables, lm_solve
+
+
+def _np_inv(T):
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = T[:3, :3].T
+    out[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+    return out
+
+
+def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
+                     iters: int | None = None) -> dict:
+    be = cfg.backend
+    graph, v0, meta = build_window_graph(m, cfg, window)
+    p = LMParams(
+        iters=iters if iters is not None else min(be.local_iters, 25),
+        cg_iters=be.cg_iters,
+        cg_tol=be.cg_tol,
+        huber_delta=be.huber_delta,
+        robust=be.robust_kernel,
+    )
+    v0 = Variables(
+        poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
+        points=np.asarray(v0.points),
+    )
+    v, info = lm_solve(graph, v0, p)
+    poses = np.asarray(v.poses)
+    points = np.asarray(v.points)
+
+    # write back refined camera poses and recomputed camera motions
+    # (Optimizer.cc:1055-1082): vmCameraPose in place, motion = inv(P_a) P_b
+    for i, f in enumerate(meta.frame_ids):
+        m.cam_pose[f] = poses[i].astype(np.float32)
+        if i > 0:
+            m.rigid_motion[f - 1][0] = (
+                _np_inv(poses[i - 1]) @ poses[i]
+            ).astype(np.float32)
+
+    # write back refined static points at every in-window observation
+    # (Optimizer.cc:1107-1121)
+    for pid, t in enumerate(meta.static_tracks):
+        for (f, j) in t:
+            if meta.frame_ids[0] <= f <= meta.frame_ids[-1]:
+                m.stat_3d[f][j] = points[pid]
+    return {
+        "cost0": float(info["cost0"]),
+        "cost": float(info["cost"]),
+        "n_points": meta.n_static_points,
+        "window": len(meta.frame_ids),
+    }

@@ -42,12 +42,18 @@ def _sinc_coeffs(theta2: jax.Array):
     """Numerically-stable (A, B, C) coefficients of the exp map.
 
     A = sin(t)/t, B = (1-cos t)/t^2, C = (1-A)/t^2, with Taylor fallbacks.
+    The untaken branch uses a safe denominator (double-where) so jvp/vjp
+    through these coefficients never produce NaN at theta -> 0.
     """
-    theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    # fp32: 1-cos and 1-sinc cancel catastrophically well above 1e-8; use a
+    # wide Taylor window plus the half-angle identity 1-cos = 2 sin^2(t/2)
+    small = theta2 < 1e-4
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
+    half_sin = jnp.sin(0.5 * theta)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * half_sin * half_sin / t2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / t2_safe)
     return A, B, C
 
 
@@ -68,12 +74,20 @@ def so3_log(R: jax.Array) -> jax.Array:
     rotation metric, Tracking.cc:3268-3276) and a stable axis extraction.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    cos_raw = (trace - 1.0) * 0.5
+    skew = vee(R - jnp.swapaxes(R, -1, -2))   # = 2 sin(theta) * axis
+    s2 = jnp.sum(skew * skew, axis=-1)         # = 4 sin^2(theta)
+    # near identity: omega = skew * (0.5 + theta^2/12 + ...), theta^2 ~ s2/4;
+    # everything flows through `skew`, so jvp/vjp stay finite (the arccos
+    # branch is masked AND its inputs are clamped away from the singularity)
+    small = cos_raw > 1.0 - 1e-4   # theta < ~0.014 (fp32 acos noise zone)
+    cos_t = jnp.clip(jnp.where(small, 0.5, cos_raw), -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
-    # axis from skew part; near theta=0 the scale -> 1/2
-    skew = vee(R - jnp.swapaxes(R, -1, -2))
     sin_t = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-5, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS))
+    # theta/(2 sin t) = 0.5 (1 + t^2/6 + 7 t^4/360 + ...), t^2 = s2/4 (+O(t^4))
+    t2 = s2 * 0.25
+    taylor = 0.5 + t2 / 12.0 + 7.0 * t2 * t2 / 720.0
+    scale = jnp.where(small, taylor, theta / (2.0 * sin_t))
     return skew * scale[..., None]
 
 
@@ -100,11 +114,14 @@ def log(T: jax.Array) -> jax.Array:
     A, B, _ = _sinc_coeffs(theta2)
     W = hat(omega)
     W2 = W @ W
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
+    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2  (safe denominator;
+    # wide Taylor window for fp32 — A/(2B) cancels near identity)
+    small = theta2 < 1e-4
+    t2_safe = jnp.where(small, 1.0, theta2)
     coef = jnp.where(
-        theta2 < 1e-8,
+        small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * B)) / (theta2 + _EPS),
+        (1.0 - A / (2.0 * B)) / t2_safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
