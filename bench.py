@@ -1,0 +1,98 @@
+"""Benchmark: full VDO-SLAM tracking pipeline throughput on one chip.
+
+Runs the complete per-frame pipeline (FAST front-end, camera RANSAC+LM,
+scene-flow classification, per-object motion LM, renewal, windowed BA every
+16 frames) on a KITTI-sized (1242x375) synthetic sequence with exact GT, and
+reports frames/sec plus accuracy sanity numbers.
+
+Baseline: the reference C++ VDO-SLAM publishes no numbers (BASELINE.md); its
+own timing harness on KITTI-sized frames runs the equivalent single-threaded
+pipeline at ~5 fps on desktop CPUs (sum of the per-stage wall-clock spans the
+reference prints via System::SaveResults; see BASELINE.md "assumed baseline").
+vs_baseline = measured_fps / 5.0.
+
+Prints ONE json line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 5.0
+N_FRAMES = 36
+WARMUP_FRAMES = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    np.seterr(all="ignore")
+    import jax
+
+    from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
+    from vdo_slam_tpu.io.dataset import SyntheticDataset
+    from vdo_slam_tpu.io.synthetic import make_scene
+    from vdo_slam_tpu.pipeline import System
+
+    log(f"devices: {jax.devices()}")
+
+    W, H = 1242, 375
+    t0 = time.perf_counter()
+    scene = make_scene(
+        num_frames=N_FRAMES + 1, width=W, height=H, num_objects=3,
+        fx=721.5377, seed=7,
+    )
+    log(f"scene generated in {time.perf_counter() - t0:.1f}s")
+
+    cfg = VDOConfig()
+    cfg = cfg.replace(
+        camera=dataclasses.replace(
+            cfg.camera, fx=721.5377, fy=721.5377, cx=W / 2.0, cy=H / 2.0,
+            width=W, height=H, bf=387.5744,
+        ),
+        tracking=dataclasses.replace(
+            TrackingConfig(), dataset=KITTI, depth_map_factor=256.0,
+        ),
+        shapes=ShapeConfig(),
+    )
+    ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
+
+    sysm = System(cfg, enable_local_ba=True, enable_global_ba=False)
+
+    # ---- warmup (compilation)
+    t0 = time.perf_counter()
+    for i in range(WARMUP_FRAMES):
+        sysm.track_rgbd(ds[i])
+    log(f"warmup {WARMUP_FRAMES} frames (incl. compile): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    # ---- timed run
+    n_timed = len(ds) - WARMUP_FRAMES
+    t0 = time.perf_counter()
+    reports = [sysm.track_rgbd(ds[i]) for i in range(WARMUP_FRAMES, len(ds))]
+    elapsed = time.perf_counter() - t0
+    fps = n_timed / elapsed
+
+    rep = sysm.metrics()
+    timing = sysm.timing()
+    log(f"frames: {n_timed}  elapsed: {elapsed:.2f}s  fps: {fps:.2f}")
+    log(f"accuracy: {rep}")
+    log(f"stage timing (ms): {timing}")
+
+    print(json.dumps({
+        "metric": "kitti_synth_full_pipeline_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Multi-stream SPMD tracking over a device mesh.
+
+The reference is strictly single-threaded (System.cc:44-46, SURVEY.md §2.3);
+this module is the new-capability scale-out path (BASELINE.json configs[4]):
+run S independent camera streams data-parallel over TPU chips, with the
+whole per-frame step — front-end candidates, feature inheritance, camera
+RANSAC+LM, scene-flow classification, per-object motion LM, renewal — inside
+ONE jit, vmapped over streams and sharded over the mesh, so XLA partitions
+the compute and inserts ICI collectives only for the tiny cross-stream
+metric reductions (psum/mean).
+
+Design per the scaling recipe: pick a mesh, annotate shardings on the
+batched pytrees, let XLA do the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import VDOConfig
+from ..geometry import se3
+from ..ops import frontend
+from ..ops.image import gather_int
+from ..pipeline import stages
+from ..pipeline.state import DynamicBank, FrameState, StaticBank
+
+
+def make_stream_state(cfg: VDOConfig):
+    """Extended per-stream state: FrameState + device-side object-track
+    tables (the host bookkeeping of tracking.py, now on device)."""
+    B = cfg.shapes.max_static
+    D = cfg.shapes.max_dynamic
+    K = cfg.shapes.max_objects
+    H, W = cfg.camera.height, cfg.camera.width
+    fs = FrameState.empty(B, D, H, W)
+    return {
+        "frame": fs,
+        "slot_sem": jnp.zeros((K,), jnp.int32),
+        "slot_model": jnp.zeros((K,), jnp.int32),
+        "slot_active": jnp.zeros((K,), bool),
+        "slot_H": jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
+        "max_id": jnp.asarray(1, jnp.int32),
+        "initialized": jnp.asarray(False),
+    }
+
+
+def make_frame_step(cfg: VDOConfig):
+    """One fully-fused per-frame tracking step (single stream).
+
+    Returns step(state, inputs, key) -> (state, metrics) where inputs is a
+    dict(rgb, depth_raw, flow, seg, T_cw_gt).  The first call per stream
+    initializes (frame-0 semantics); subsequent calls track.  Entirely
+    jit-compatible: the frame-0 branch is a lax.cond.
+    """
+    tr = cfg.tracking
+    # build stage bodies WITHOUT their own jit wrappers
+    prep_fn = _unjit(stages.make_prepare(cfg))
+    inherit_fn = _unjit(stages.make_inherit(cfg))
+    camera_fn = _unjit(stages.make_camera_stage(cfg))
+    sflow_fn = _unjit(stages.make_scene_flow(cfg))
+    objects_fn = _unjit(stages.make_objects_stage(cfg))
+    renew_s_fn, renew_d_fn = [
+        _unjit(f) for f in stages.make_renew_stage(cfg)
+    ]
+    init_fn = _unjit(stages.make_init_stage(cfg))
+    classify_fn = stages.make_device_classifier(cfg)
+
+    def track_body(state, inputs, key):
+        last: FrameState = state["frame"]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        prep = prep_fn(inputs["rgb"], inputs["depth_raw"], inputs["flow"],
+                       inputs["seg"], k1)
+        depth = prep["depth"]
+        seg = inputs["seg"]
+        stat_cur, dyn_cur = inherit_fn(last.static, last.dynamic, depth, seg)
+        cam_out = camera_fn(
+            last.static, stat_cur["xy"], stat_cur["depth"], last.T_cw,
+            last.velocity, inputs["T_cw_gt"], last.T_cw_gt, k2,
+        )
+        T_cw = cam_out["T_cw"]
+        sf = sflow_fn(last.dynamic, dyn_cur["xy"], dyn_cur["depth"],
+                      dyn_cur["sem_label"], last.T_cw, T_cw)
+        cls = classify_fn(
+            dyn_cur["sem_label"], dyn_cur["valid"] & sf["sem_ok"],
+            sf["sf_norm"], dyn_cur["depth"], dyn_cur["xy"],
+            last.dynamic.sem_label, state["slot_sem"], state["slot_model"],
+            state["slot_H"], state["slot_active"], state["max_id"],
+        )
+        obj_out = objects_fn(
+            last.dynamic, dyn_cur["xy"], dyn_cur["depth"],
+            dyn_cur["sem_label"], cls["slot_sem"], cls["slot_active"],
+            cls["slot_has_mm"], cls["slot_H_prev"], cls["member_ok"],
+            last.T_cw, T_cw, k3,
+        )
+        ok_slot = cls["slot_active"] & (
+            obj_out["n_init"] >= tr.min_init_inliers
+        )
+        stat_new = renew_s_fn(
+            cam_out["uv_cur"], cam_out["inlier"], prep["det_xy"],
+            prep["det_valid"], prep["det_score"], depth, inputs["flow"],
+            seg, T_cw,
+        )
+        carry_dyn = (cls["obj_label"] > 0) & jnp.any(obj_out["inlier"], axis=0)
+        dyn_new = renew_d_fn(
+            obj_out["uv_cur"], cls["obj_label"], carry_dyn, prep["obj_cand"],
+            cls["slot_sem"], cls["slot_model"], ok_slot, depth,
+            inputs["flow"], seg, T_cw, k4,
+        )
+        new_state = {
+            "frame": FrameState(
+                static=stat_new, dynamic=dyn_new, T_cw=T_cw,
+                T_cw_gt=inputs["T_cw_gt"], velocity=cam_out["velocity"],
+                seg=seg, flow_map=inputs["flow"], depth_map=depth,
+            ),
+            "slot_sem": cls["slot_sem"],
+            "slot_model": cls["slot_model"],
+            "slot_active": ok_slot,
+            "slot_H": jnp.where(ok_slot[:, None, None], obj_out["H"],
+                                jnp.eye(4)),
+            "max_id": cls["max_id"],
+            "initialized": jnp.asarray(True),
+        }
+        metrics = {
+            "t_rpe": cam_out["t_rpe"],
+            "r_rpe": cam_out["r_rpe"],
+            "n_inlier": cam_out["n_inlier"],
+            "n_objects": jnp.sum(ok_slot.astype(jnp.int32)),
+            "speeds": jnp.where(ok_slot, obj_out["speed"], 0.0),
+        }
+        return new_state, metrics
+
+    def init_body(state, inputs, key):
+        prep = prep_fn(inputs["rgb"], inputs["depth_raw"], inputs["flow"],
+                       inputs["seg"], key)
+        stat, dyn = init_fn(prep["stat_cand"], prep["obj_cand"])
+        eye = jnp.eye(4, dtype=jnp.float32)
+        new_state = dict(state)
+        new_state["frame"] = FrameState(
+            static=stat, dynamic=dyn, T_cw=eye, T_cw_gt=eye, velocity=eye,
+            seg=inputs["seg"], flow_map=inputs["flow"],
+            depth_map=prep["depth"],
+        )
+        new_state["initialized"] = jnp.asarray(True)
+        metrics = {
+            "t_rpe": jnp.asarray(0.0),
+            "r_rpe": jnp.asarray(0.0),
+            "n_inlier": jnp.asarray(0, jnp.int32),
+            "n_objects": jnp.asarray(0, jnp.int32),
+            "speeds": jnp.zeros((cfg.shapes.max_objects,)),
+        }
+        return new_state, metrics
+
+    def step(state, inputs, key):
+        return jax.lax.cond(
+            state["initialized"],
+            lambda: track_body(state, inputs, key),
+            lambda: init_body(state, inputs, key),
+        )
+
+    return step
+
+
+def _unjit(fn):
+    """Unwrap a jitted stage to its python body for composition."""
+    inner = getattr(fn, "__wrapped__", None)
+    return inner if inner is not None else fn
+
+
+def make_multistream_step(cfg: VDOConfig, mesh: Mesh, axis: str = "stream"):
+    """Vmapped + sharded multi-stream step.
+
+    Returns (pstep, shard_state, shard_inputs): pstep(states, inputs, keys)
+    processes one frame for all streams with per-stream data sharded over
+    `axis`; cross-stream mean metrics come back replicated (XLA inserts the
+    all-reduce over ICI).
+    """
+    step = make_frame_step(cfg)
+    vstep = jax.vmap(step)
+
+    data_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def shard_tree(tree):
+        return jax.device_put(
+            tree, jax.tree.map(lambda _: data_sharding, tree)
+        )
+
+    @functools.partial(jax.jit, out_shardings=None)
+    def pstep(states, inputs, keys):
+        states, metrics = vstep(states, inputs, keys)
+        fleet = {
+            "mean_t_rpe": jnp.mean(metrics["t_rpe"]),
+            "mean_r_rpe": jnp.mean(metrics["r_rpe"]),
+            "total_objects": jnp.sum(metrics["n_objects"]),
+        }
+        return states, metrics, fleet
+
+    return pstep, shard_tree, data_sharding

@@ -435,3 +435,122 @@ def make_init_stage(cfg: VDOConfig):
         return stat, dyn
 
     return jax.jit(init_banks)
+
+
+# --------------------------------------------------------------------------
+# fully-device dynamic-object classifier (SPMD path)
+# --------------------------------------------------------------------------
+
+_LABEL_SPACE = 256  # instance-segmentation ids are assumed < 256
+
+
+def make_device_classifier(cfg: VDOConfig):
+    """DynObjTracking (Tracking.cc:1366-1612) entirely on device.
+
+    The host path in tracking.py does this label bookkeeping in numpy; this
+    variant keeps the whole frame step inside one jit so it can be vmapped
+    over streams and sharded over a device mesh.  Association state is
+    carried as fixed-size slot tables (sem label, model label, motion) plus
+    a scalar max_id counter.
+    """
+    tr = cfg.tracking
+    Kobj = cfg.shapes.max_objects
+    H_img, W_img = cfg.camera.height, cfg.camera.width
+
+    def classify(cur_sem, valid, sf_norm, depth, xy,
+                 last_sem, last_slot_sem, last_slot_model, last_slot_H,
+                 last_slot_active, max_id):
+        lab = jnp.clip(cur_sem, 0, _LABEL_SPACE - 1)
+        ok = valid & (cur_sem > 0) & (lab == cur_sem)
+        labf = jnp.where(ok, lab, 0)
+
+        def count(pred):
+            return jax.ops.segment_sum(
+                jnp.where(ok & pred, 1.0, 0.0), labf,
+                num_segments=_LABEL_SPACE,
+            )
+
+        ones = count(jnp.ones_like(ok))
+        u, v = xy[..., 0], xy[..., 1]
+        sr, sc = tr.boundary_shrink_row, tr.boundary_shrink_col
+        on_b = (v < sr) | (v > H_img - sr) | (u < sc) | (u > W_img - sc)
+        n_boundary = count(on_b)
+        n_static = count(sf_norm < tr.sf_mg_thres)
+        d_sum = jax.ops.segment_sum(
+            jnp.where(ok, depth, 0.0), labf, num_segments=_LABEL_SPACE
+        )
+        ones_safe = jnp.maximum(ones, 1.0)
+
+        is_obj = (
+            (ones >= tr.min_obj_points)
+            & (n_boundary / ones_safe <= tr.boundary_frac_thres)
+            & (n_static / ones_safe <= tr.sf_ds_thres)
+            & (d_sum / ones_safe <= tr.th_depth_obj)
+        )
+        is_obj = is_obj.at[0].set(False)
+        # per-label classification for features (0 static, -1 dropped)
+        lab_class = jnp.where(
+            is_obj, 2,
+            jnp.where(n_static / ones_safe > tr.sf_ds_thres, 0, -1),
+        )  # 2 = active object
+
+        # top-K object labels by population -> slots
+        score = jnp.where(is_obj, ones, -1.0)
+        slot_lab = jnp.argsort(-score)[:Kobj].astype(jnp.int32)
+        slot_active = score[slot_lab] > 0
+
+        # association: majority of LAST-frame sem labels among this slot's
+        # members, matched against last slot sem labels
+        members = (cur_sem[None, :] == slot_lab[:, None]) & ok[None, :]  # (K,D)
+        last_lab = jnp.clip(last_sem, 0, _LABEL_SPACE - 1)
+        votes = jax.vmap(
+            lambda m: jax.ops.segment_sum(
+                jnp.where(m & (last_sem > 0), 1.0, 0.0), last_lab,
+                num_segments=_LABEL_SPACE,
+            )
+        )(members)                                    # (K, 256)
+        major = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+        has_major = jnp.take_along_axis(votes, major[:, None], axis=-1)[:, 0] > 0
+        maj_lab = jnp.where(has_major, major, slot_lab)
+        match = maj_lab[:, None] == last_slot_sem[None, :]   # (K, K_last)
+        match = match & last_slot_active[None, :]
+        matched = jnp.any(match, axis=-1) & slot_active
+        match_idx = jnp.argmax(match, axis=-1)
+        # new ids for unmatched active slots
+        is_new = slot_active & ~matched
+        new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        slot_model = jnp.where(
+            matched, last_slot_model[match_idx],
+            jnp.where(is_new, max_id + new_rank, 0),
+        ).astype(jnp.int32)
+        new_max_id = max_id + jnp.sum(is_new.astype(jnp.int32))
+        slot_H_prev = jnp.where(
+            matched[:, None, None], last_slot_H[match_idx],
+            jnp.broadcast_to(jnp.eye(4), (Kobj, 4, 4)),
+        )
+        # feature-level obj labels: model id for members of active slots,
+        # else 0 (static object) / -1 (dropped) / -1 (classifier-invalid)
+        per_lab_class = lab_class[labf]
+        feat_model = jnp.einsum(
+            "k,kn->n", slot_model.astype(jnp.float32),
+            members.astype(jnp.float32),
+        ).astype(jnp.int32)
+        obj_label = jnp.where(
+            ~valid, -2,
+            jnp.where(~ok, -1,
+                      jnp.where(per_lab_class == 2,
+                                jnp.where(feat_model > 0, feat_model, -1),
+                                per_lab_class)),
+        )
+        return {
+            "slot_sem": jnp.where(slot_active, slot_lab, 0),
+            "slot_model": slot_model,
+            "slot_active": slot_active,
+            "slot_has_mm": matched,
+            "slot_H_prev": slot_H_prev,
+            "max_id": new_max_id,
+            "obj_label": obj_label.astype(jnp.int32),
+            "member_ok": obj_label > 0,
+        }
+
+    return classify
