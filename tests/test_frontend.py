@@ -203,3 +203,29 @@ class TestFrontend:
         rec1 = np.asarray(fixed) == 1
         inter = (true1 & rec1).sum()
         assert inter > 0.5 * true1.sum()
+
+
+class TestPallasFAST:
+    def test_matches_jnp_reference(self):
+        from vdo_slam_tpu.ops.fast_pallas import fast_score_pair_pallas
+
+        rng = np.random.default_rng(0)
+        img = (rng.random((120, 200)) > 0.5).astype(np.float32)
+        gi = jnp.asarray(img)
+        ref_i = fast.fast_score(gi, 20 / 255.0)
+        ref_m = fast.fast_score(gi, 7 / 255.0)
+        pi, pm = fast_score_pair_pallas(gi, 20 / 255.0, 7 / 255.0,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(pi), np.asarray(ref_i), atol=0)
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(ref_m), atol=0)
+
+    def test_non_aligned_shapes(self):
+        from vdo_slam_tpu.ops.fast_pallas import fast_score_pair_pallas
+
+        rng = np.random.default_rng(1)
+        img = (rng.random((97, 131)) > 0.5).astype(np.float32)
+        gi = jnp.asarray(img)
+        ref = fast.fast_score(gi, 15 / 255.0)
+        pi, _ = fast_score_pair_pallas(gi, 15 / 255.0, 7 / 255.0,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(pi), np.asarray(ref), atol=0)

@@ -99,7 +99,7 @@ def _cell_max(score: jax.Array, cell: int) -> jax.Array:
 
 
 def detect_level(gray: jax.Array, ini_th: float, min_th: float, cell: int,
-                 k: int):
+                 k: int, use_pallas: bool = False):
     """Detect up to k corners at one pyramid level.
 
     Two-threshold policy: inside each detection cell, use the ini-threshold
@@ -109,8 +109,13 @@ def detect_level(gray: jax.Array, ini_th: float, min_th: float, cell: int,
     """
     from . import select as _select
 
-    s_ini = fast_score(gray, ini_th)
-    s_min = fast_score(gray, min_th)
+    if use_pallas:
+        from .fast_pallas import fast_score_pair_pallas
+
+        s_ini, s_min = fast_score_pair_pallas(gray, ini_th, min_th)
+    else:
+        s_ini = fast_score(gray, ini_th)
+        s_min = fast_score(gray, min_th)
     has_ini = _cell_max(s_ini, cell) > 0.0
     score = jnp.where(has_ini, s_ini, s_min)
     score = nms3(score)
@@ -132,11 +137,12 @@ def detect_level(gray: jax.Array, ini_th: float, min_th: float, cell: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "n_levels",
-                                             "scale_factor", "cell"))
+                                             "scale_factor", "cell",
+                                             "use_pallas"))
 def detect_pyramid(gray: jax.Array, n_features: int = 2500,
                    n_levels: int = 8, scale_factor: float = 1.2,
                    ini_th: float = 20.0, min_th: float = 7.0,
-                   cell: int = 30):
+                   cell: int = 30, use_pallas: bool | None = None):
     """Full pyramid detection with per-level feature budgets.
 
     Per-level budget follows the ORB-SLAM geometric split the reference uses
@@ -144,6 +150,8 @@ def detect_pyramid(gray: jax.Array, n_features: int = 2500,
     are expected in [0, 1]; thresholds are 8-bit units and scaled internally.
     Returns dict(xy (N,2) level-0 coords, score (N,), octave (N,), valid (N,)).
     """
+    if use_pallas is None:  # auto: hand-tiled kernel on TPU, jnp elsewhere
+        use_pallas = jax.default_backend() == "tpu"
     t_scale = 1.0 / 255.0
     inv = 1.0 / scale_factor
     raw_w = [inv ** l for l in range(n_levels)]
@@ -162,7 +170,8 @@ def detect_pyramid(gray: jax.Array, n_features: int = 2500,
             img = jax.image.resize(gray, (Hl, Wl), method="bilinear")
         cell_l = max(int(cell * inv ** l), 8)
         xy, sc, va = detect_level(
-            img, ini_th * t_scale, min_th * t_scale, cell_l, budgets[l]
+            img, ini_th * t_scale, min_th * t_scale, cell_l, budgets[l],
+            use_pallas=use_pallas,
         )
         xs.append(xy * (scale_factor ** l))  # back to level-0 coords
         ss.append(sc)
