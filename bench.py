@@ -36,6 +36,11 @@ def main():
     np.seterr(all="ignore")
     import jax
 
+    # persistent compilation cache: first-ever run compiles (~10 min over the
+    # remote toolchain), later runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
     from vdo_slam_tpu.io.dataset import SyntheticDataset
     from vdo_slam_tpu.io.synthetic import make_scene

@@ -38,6 +38,10 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
 
     for f in range(m.num_frames):
         m.cam_pose_rf[f] = poses[f].astype(np.float32)
+        if not m.stat_3d[f].flags.writeable:
+            m.stat_3d[f] = m.stat_3d[f].copy()
+        if not m.dyn_3d[f].flags.writeable:
+            m.dyn_3d[f] = m.dyn_3d[f].copy()
     for mid, (fp, j) in enumerate(meta.motion_slots):
         m.rigid_motion_rf[fp][j] = motions[mid].astype(np.float32)
     for pid, t in enumerate(meta.static_tracks):

@@ -53,7 +53,10 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
             ).astype(np.float32)
 
     # write back refined static points at every in-window observation
-    # (Optimizer.cc:1107-1121)
+    # (Optimizer.cc:1107-1121); archive arrays may be read-only device views
+    for f in meta.frame_ids:
+        if not m.stat_3d[f].flags.writeable:
+            m.stat_3d[f] = m.stat_3d[f].copy()
     for pid, t in enumerate(meta.static_tracks):
         for (f, j) in t:
             if meta.frame_ids[0] <= f <= meta.frame_ids[-1]:

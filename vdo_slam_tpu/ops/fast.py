@@ -138,6 +138,7 @@ def detect_level(gray: jax.Array, ini_th: float, min_th: float, cell: int,
 
 @functools.partial(jax.jit, static_argnames=("n_features", "n_levels",
                                              "scale_factor", "cell",
+                                             "ini_th", "min_th",
                                              "use_pallas"))
 def detect_pyramid(gray: jax.Array, n_features: int = 2500,
                    n_levels: int = 8, scale_factor: float = 1.2,

@@ -77,7 +77,7 @@ def _fast_kernel(img_hbm, out_ini_ref, out_min_ref, scratch, sem, *,
 @functools.partial(jax.jit, static_argnames=("th_ini", "th_min", "tile_h",
                                              "interpret"))
 def fast_score_pair_pallas(gray: jax.Array, th_ini: float, th_min: float,
-                           tile_h: int = 64, interpret: bool = False):
+                           tile_h: int = 32, interpret: bool = False):
     """FAST scores at two thresholds in one fused pass.
 
     gray: (H, W) float32.  Returns (score_ini, score_min), each (H, W) with
