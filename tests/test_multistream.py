@@ -99,3 +99,26 @@ class TestMultiStream:
         assert float(fleet["mean_t_rpe"]) < 0.2
         # per-stream metrics exist for every stream
         assert metrics["t_rpe"].shape == (S,)
+
+
+class TestFusedSystem:
+    def test_fused_mode_tracks_scene(self):
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.io.dataset import SyntheticDataset
+        from vdo_slam_tpu.io.synthetic import make_scene
+        from vdo_slam_tpu.pipeline import System
+
+        scene = make_scene(num_frames=6, width=320, height=240,
+                           num_objects=2, seed=3)
+        cfg = small_config(scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="fused")
+        reports = sysm.run_sequence(ds)
+        rpes = [r["t_rpe"] for r in reports[1:]]
+        assert np.mean(rpes) < 0.03, rpes
+        rep = sysm.metrics()
+        assert rep["cam_t_rpe"] < 0.03
+        # objects tracked and archived
+        assert rep["n_obj_estimates"] >= 3
+        assert sysm.map.num_frames == len(reports)

@@ -130,6 +130,15 @@ def make_frame_step(cfg: VDOConfig):
             "n_inlier": cam_out["n_inlier"],
             "n_objects": jnp.sum(ok_slot.astype(jnp.int32)),
             "speeds": jnp.where(ok_slot, obj_out["speed"], 0.0),
+            # per-slot detail for host-side archiving (fused tracker mode)
+            "slot_sem": cls["slot_sem"],
+            "slot_model": cls["slot_model"],
+            "slot_active": ok_slot,
+            "slot_H": obj_out["H"],
+            "slot_centroid": obj_out["centroid"],
+            "slot_n_init": obj_out["n_init"],
+            "slot_n_inlier": obj_out["n_inlier"],
+            "used_motion_model": cam_out["used_motion_model"],
         }
         return new_state, metrics
 
@@ -145,12 +154,22 @@ def make_frame_step(cfg: VDOConfig):
             depth_map=prep["depth"],
         )
         new_state["initialized"] = jnp.asarray(True)
+        Kobj = cfg.shapes.max_objects
         metrics = {
             "t_rpe": jnp.asarray(0.0),
             "r_rpe": jnp.asarray(0.0),
             "n_inlier": jnp.asarray(0, jnp.int32),
             "n_objects": jnp.asarray(0, jnp.int32),
-            "speeds": jnp.zeros((cfg.shapes.max_objects,)),
+            "speeds": jnp.zeros((Kobj,)),
+            "slot_sem": jnp.zeros((Kobj,), jnp.int32),
+            "slot_model": jnp.zeros((Kobj,), jnp.int32),
+            "slot_active": jnp.zeros((Kobj,), bool),
+            "slot_H": jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                       (Kobj, 4, 4)),
+            "slot_centroid": jnp.zeros((Kobj, 3)),
+            "slot_n_init": jnp.zeros((Kobj,), jnp.int32),
+            "slot_n_inlier": jnp.zeros((Kobj,), jnp.int32),
+            "used_motion_model": jnp.asarray(False),
         }
         return new_state, metrics
 

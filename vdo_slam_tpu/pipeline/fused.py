@@ -1,0 +1,191 @@
+"""Fused-mode tracking: the entire per-frame pipeline in ONE device call.
+
+The host-orchestrated Tracker (tracking.py) mirrors the reference's control
+flow stage by stage (~8 device calls + transfers per frame) and keeps exact
+host-side label bookkeeping.  This mode instead drives parallel.make_frame_
+step — front-end, camera, classifier, objects, renewal fused into a single
+jit with the device-side classifier — and only archives results on the host.
+One launch per frame amortizes dispatch/transfer latency, which dominates on
+remote-attached accelerators.
+
+Behavioral difference vs the host path (documented): object slots are gated
+by inlier count only; GT availability (which the reference folds into
+bObjStat, Tracking.cc:132-142) is applied at archive time, not fed back into
+renewal.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VDOConfig
+from ..io.dataset import FrameData
+from ..parallel.multistream import make_frame_step, make_stream_state
+from .map_state import MapState
+from .tracking import _np_inv, obj_pose_parsing_kt, obj_pose_parsing_ox
+
+
+class FusedTracker:
+    """Single-stream tracker built on the fused frame step."""
+
+    def __init__(self, cfg: VDOConfig, game_map: MapState | None = None):
+        self.cfg = cfg
+        self.map = game_map if game_map is not None else MapState()
+        self.step = jax.jit(make_frame_step(cfg))
+        self.state = make_stream_state(cfg)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.frame_id = 0
+        self.origin_inv: np.ndarray | None = None
+        self._last_obj_rows = np.zeros((0, 10), np.float32)
+        self._last_T_wc_gt = np.eye(4, dtype=np.float32)
+        self.local_ba_hook = None
+
+    def _gt_pose(self, raw):
+        if self.origin_inv is None:
+            self.origin_inv = np.asarray(raw, np.float32)
+            return _np_inv(self.origin_inv)
+        return _np_inv(np.asarray(raw, np.float32)) @ self.origin_inv
+
+    def _gt_obj(self, rows, T_wc_gt):
+        from ..config import OMD
+
+        out = {}
+        for r in np.asarray(rows, np.float32).reshape(-1, 10):
+            if self.cfg.tracking.dataset == OMD:
+                out[int(r[1])] = obj_pose_parsing_ox(r, self.origin_inv)
+            else:
+                out[int(r[1])] = T_wc_gt @ obj_pose_parsing_kt(r)
+        return out
+
+    def grab_frame(self, fd: FrameData) -> dict:
+        t0 = time.perf_counter()
+        T_cw_gt = self._gt_pose(fd.pose_gt_raw)
+        inputs = {
+            "rgb": jnp.asarray(fd.rgb),
+            "depth_raw": jnp.asarray(fd.depth_raw),
+            "flow": jnp.asarray(fd.flow),
+            "seg": jnp.asarray(fd.mask, jnp.int32),
+            "T_cw_gt": jnp.asarray(T_cw_gt),
+        }
+        self.key, k = jax.random.split(self.key)
+        self.state, metrics = self.step(self.state, inputs, k)
+        self._archive(fd, metrics, T_cw_gt)
+        out = {
+            "frame_id": self.frame_id,
+            "T_cw": np.asarray(self.state["frame"].T_cw),
+            "t_rpe": float(metrics["t_rpe"]),
+            "r_rpe": float(metrics["r_rpe"]),
+            "n_inlier_cam": int(metrics["n_inlier"]),
+            "n_objects": int(metrics["n_objects"]),
+            "wall_time": time.perf_counter() - t0,
+        }
+        self.frame_id += 1
+
+        # windowed BA trigger (Tracking.cc:1168-1183)
+        tr = self.cfg.tracking
+        f_id = self.frame_id - 1
+        w, o = tr.window_size, tr.overlap_size
+        if (self.local_ba_hook is not None and f_id >= w - 1
+                and (f_id - o + 1) % (w - o) == 0):
+            t5 = time.perf_counter()
+            self.local_ba_hook(self.map)
+            self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+        return out
+
+    def _archive(self, fd: FrameData, metrics, T_cw_gt):
+        m = self.map
+        fs = self.state["frame"]
+        stat, dyn = fs.static, fs.dynamic
+        m.stat_xy.append(np.asarray(stat.xy))
+        m.stat_depth.append(np.asarray(stat.depth))
+        m.stat_3d.append(np.asarray(stat.point_w))
+        m.stat_valid.append(np.asarray(stat.valid))
+        m.dyn_xy.append(np.asarray(dyn.xy))
+        m.dyn_depth.append(np.asarray(dyn.depth))
+        m.dyn_3d.append(np.asarray(dyn.point_w))
+        m.dyn_valid.append(np.asarray(dyn.valid))
+        m.dyn_obj_label.append(np.asarray(dyn.obj_label))
+        m.dyn_sem_label.append(np.asarray(dyn.sem_label))
+        T_cw = np.asarray(fs.T_cw)
+        T_wc = _np_inv(T_cw)
+        m.cam_pose.append(T_wc)
+        m.cam_pose_rf.append(T_wc.copy())
+        m.cam_pose_gt.append(_np_inv(np.asarray(T_cw_gt)))
+        m.timings.append(np.zeros(5, np.float32))
+
+        if self.frame_id == 0:
+            self._last_obj_rows = fd.obj_gt_rows
+            self._last_T_wc_gt = _np_inv(np.asarray(T_cw_gt))
+            return
+        m.stat_assoc.append(np.asarray(stat.assoc))
+        m.dyn_assoc.append(np.asarray(dyn.assoc))
+
+        T_wc_gt = _np_inv(np.asarray(T_cw_gt))
+        gt_cur = self._gt_obj(fd.obj_gt_rows, T_wc_gt)
+        gt_last = self._gt_obj(self._last_obj_rows, self._last_T_wc_gt)
+
+        cam_motion = _np_inv(np.asarray(fs.velocity))
+        mots = [cam_motion]
+        # GT camera motion = Tcw_gt_last @ Twc_gt_cur (Tracking.cc:1136)
+        mots_gt = [self._last_T_wc_gt_inv() @ T_wc_gt]
+        poses_pre = [cam_motion]
+        labels = [0]
+        sems = [0]
+        stats = [True]
+        sp_gt = [1.0]
+        sp_est = [0.0]
+        cents = [np.zeros(3, np.float32)]
+
+        active = np.asarray(metrics["slot_active"])
+        H_all = np.asarray(metrics["slot_H"])
+        sem_all = np.asarray(metrics["slot_sem"])
+        model_all = np.asarray(metrics["slot_model"])
+        cen_all = np.asarray(metrics["slot_centroid"])
+        speed_all = np.asarray(metrics["speeds"])
+        for k in range(active.shape[0]):
+            if not active[k]:
+                continue
+            sem = int(sem_all[k])
+            ok_gt = sem in gt_cur and sem in gt_last
+            if ok_gt:
+                L_w_p = gt_last[sem]
+                L_w_c = gt_cur[sem]
+                H_gt_body = _np_inv(L_w_p) @ L_w_c
+                H_p_c = L_w_c @ _np_inv(L_w_p)
+                v_gt = H_p_c[:3, 3] - (np.eye(3) - H_p_c[:3, :3]) @ cen_all[k]
+                speed_gt = float(np.linalg.norm(v_gt) * 36.0)
+            else:
+                # no GT: archived as a failure case (reference bObjStat)
+                continue
+            mots.append(H_all[k])
+            mots_gt.append(H_gt_body)
+            poses_pre.append(L_w_p)
+            labels.append(int(model_all[k]))
+            sems.append(sem)
+            stats.append(True)
+            sp_gt.append(speed_gt)
+            sp_est.append(float(speed_all[k]))
+            cents.append(cen_all[k])
+
+        m.rigid_motion.append(mots)
+        m.rigid_motion_rf.append([x.copy() for x in mots])
+        m.rigid_motion_gt.append(mots_gt)
+        m.obj_pose_pre.append(poses_pre)
+        m.rm_label.append(labels)
+        m.sem_label.append(sems)
+        m.obj_stat.append(stats)
+        m.speed_gt.append(sp_gt)
+        m.speed_est.append(sp_est)
+        m.centres.append(cents)
+        m.sm_label_gt.append(
+            [int(r[1]) for r in np.asarray(fd.obj_gt_rows).reshape(-1, 10)]
+        )
+        self._last_obj_rows = fd.obj_gt_rows
+        self._last_T_wc_gt = T_wc_gt
+
+    def _last_T_wc_gt_inv(self):
+        return _np_inv(self._last_T_wc_gt)

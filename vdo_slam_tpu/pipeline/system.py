@@ -22,12 +22,20 @@ from .tracking import Tracker
 
 class System:
     def __init__(self, cfg: VDOConfig | str | Path, enable_local_ba: bool = True,
-                 enable_global_ba: bool = True):
+                 enable_global_ba: bool = True, mode: str = "reference"):
+        """mode: 'reference' = host-orchestrated stage-by-stage tracking with
+        exact reference bookkeeping; 'fused' = whole frame in one device call
+        (device-side classifier) — the low-latency production path."""
         if not isinstance(cfg, VDOConfig):
             cfg = load_settings(cfg)
         self.cfg = cfg
         self.map = MapState()
-        self.tracker = Tracker(cfg, self.map)
+        if mode == "fused":
+            from .fused import FusedTracker
+
+            self.tracker = FusedTracker(cfg, self.map)
+        else:
+            self.tracker = Tracker(cfg, self.map)
         self.enable_global_ba = enable_global_ba
         if enable_local_ba:
             from ..backend.window_ba import local_ba_inplace
