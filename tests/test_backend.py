@@ -253,3 +253,30 @@ class TestFullBA:
         # refined estimates stay in the same accuracy class
         assert rep["cam_t_rpe"] < rep0["cam_t_rpe"] * 2 + 5e-3
         assert rep["obj_t_rpe"] < rep0["obj_t_rpe"] * 2 + 0.05
+
+
+class TestSchurSolver:
+    def test_schur_matches_pcg_on_pose_chain(self):
+        t = TestLM()
+        g, v0, poses_gt, pts_gt = t._pose_chain_problem()
+        from vdo_slam_tpu.backend.factor_graph import lm_solve_schur
+
+        p = LMParams(iters=15, robust=False)
+        v_s, info_s = lm_solve_schur(g, v0, p)
+        err = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            v_s.poses, poses_gt))
+        assert np.abs(err).max() < 5e-3, np.abs(err).max()
+        assert float(info_s["cost"]) < 0.05 * float(info_s["cost0"])
+
+    def test_window_ba_schur_on_tracked_map(self, tracked_map):
+        from vdo_slam_tpu.backend.window_ba import local_ba_inplace
+        import copy
+
+        sysm, scene, cfg = tracked_map
+        m = copy.deepcopy(sysm.map)
+        info = local_ba_inplace(m, cfg, window=6, iters=8, solver="schur")
+        assert info["cost"] <= info["cost0"]
+        m2 = copy.deepcopy(sysm.map)
+        info2 = local_ba_inplace(m2, cfg, window=6, iters=8, solver="pcg")
+        # both solvers land at comparable cost
+        assert info["cost"] <= info2["cost"] * 1.5 + 1e-3

@@ -475,3 +475,113 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams):
         step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
     )
     return v, {"cost0": cost0, "cost": cost, "history": history}
+
+
+# --------------------------------------------------------------------------
+# dense-Schur direct LM for point-block-diagonal graphs (windowed BA)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
+    """LM with an EXACT reduced solve for graphs whose points appear only in
+    pose-point obs edges (no ternary coupling) — the windowed static BA.
+
+    Point blocks are eliminated analytically (3x3 inverses), the reduced
+    pose system (6F x 6F, F <= window) is assembled densely and solved by
+    one equilibrated Cholesky per LM iteration — the TPU analogue of
+    g2o BlockSolver + sparse Cholesky (Optimizer.cc:172-183), trading the
+    CSparse fill-reducing permutation for one small MXU-friendly dense
+    factorization.
+    """
+    F = v0.poses.shape[0]
+    P = v0.points.shape[0]
+    n = 6 * F
+
+    def step(carry, _):
+        v, lam, cost = carry
+        resid, weights, blocks = _linearize(g, v, p)
+        Jo_pose, Jo_pt = blocks["Jo_pose"], blocks["Jo_pt"]
+        w = weights["obs"]
+        r = resid["obs"]
+
+        # point blocks + rhs
+        Hpp = _seg(jnp.einsum("eij,eik,e->ejk", Jo_pt, Jo_pt, w),
+                   g.obs_point, P)
+        dpp = lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8
+        Hpp = Hpp + jax.vmap(jnp.diag)(dpp)
+        bp = -_seg(jnp.einsum("eij,ei,e->ej", Jo_pt, r, w), g.obs_point, P)
+        Hpp_inv = jnp.linalg.inv(Hpp)
+
+        # dense cross blocks U[(pose, point)] = Jp^T w Jx  (6,3)
+        flat_idx = g.obs_pose * P + g.obs_point
+        U = _seg(jnp.einsum("eij,eik,e->ejk", Jo_pose, Jo_pt, w),
+                 flat_idx, F * P).reshape(F, P, 6, 3)
+
+        # reduced pose system
+        Hcc = jnp.zeros((F, 6, F, 6))
+        diag_pose = _seg(jnp.einsum("eij,eik,e->ejk", Jo_pose, Jo_pose, w),
+                         g.obs_pose, F)
+        Hcc = Hcc + jnp.einsum(
+            "fij,fg->figj", diag_pose, jnp.eye(F)
+        )
+        bc = -_seg(jnp.einsum("eij,ei->ej", Jo_pose, r * w[:, None]),
+                   g.obs_pose, F)
+
+        # odometry + prior blocks (small counts; scatter into dense Hcc)
+        Jd_a, Jd_b = blocks["Jd_a"], blocks["Jd_b"]
+        wo = weights["odo"]
+        ro = resid["odo"]
+        a_idx, b_idx = g.odo_a, g.odo_b
+
+        def acc(Hcc, bc, Ji, Jj, ii, jj, we, re):
+            Hij = jnp.einsum("eij,eik,e->ejk", Ji, Jj, we)
+            Hcc = Hcc.at[ii, :, jj, :].add(Hij)
+            bi = -jnp.einsum("eij,ei,e->ej", Ji, re, we)
+            bc2 = jax.ops.segment_sum(bi, ii, num_segments=F)
+            return Hcc, bc + bc2
+
+        # note: .at[ii,:,jj,:].add with index arrays performs scatter-add
+        Hcc, bc = acc(Hcc, bc, Jd_a, Jd_a, a_idx, a_idx, wo, ro)
+        Hcc, bc = acc(Hcc, bc, Jd_b, Jd_b, b_idx, b_idx, wo, ro)
+        Hcc, _ = acc(Hcc, jnp.zeros_like(bc), Jd_a, Jd_b, a_idx, b_idx, wo,
+                     jnp.zeros_like(ro))
+        Hcc, _ = acc(Hcc, jnp.zeros_like(bc), Jd_b, Jd_a, b_idx, a_idx, wo,
+                     jnp.zeros_like(ro))
+        Jp = blocks["Jp"]
+        Hcc, bc = acc(Hcc, bc, Jp, Jp, g.pri_idx, g.pri_idx, weights["pri"],
+                      resid["pri"])
+
+        # Marquardt damping on poses
+        Hd = Hcc.reshape(n, n)
+        damp = lam * jnp.diag(Hd) + 1e-8
+        Hd = Hd + jnp.diag(damp)
+
+        # Schur: S = Hcc - U Hpp^-1 U^T ; rhs = bc - U Hpp^-1 bp
+        UHi = jnp.einsum("fpij,pjk->fpik", U, Hpp_inv)       # (F,P,6,3)
+        S = Hd - jnp.einsum("fpik,gplk->filg", UHi, U).reshape(n, n)
+        rhs = bc.reshape(n) - jnp.einsum("fpik,pk->fi", UHi, bp).reshape(n)
+
+        # equilibrated solve
+        d = jnp.sqrt(jnp.clip(jnp.diag(S), 1e-12, None))
+        Ss = S / d[:, None] / d[None, :]
+        dc = jnp.linalg.solve(Ss + 1e-7 * jnp.eye(n), rhs / d) / d
+        dc_t = dc.reshape(F, 6)
+        # back-substitute points
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv,
+                        bp - jnp.einsum("fpij,fi->pj", U, dc_t))
+
+        delta = Tangent(dc_t, jnp.zeros((v.motions.shape[0], 6)), dp)
+        v_new = _retract_vars(v, delta)
+        new_cost = robust_cost(g, v_new, p)
+        accept = new_cost < cost
+        v = jax.tree.map(lambda a, b: jnp.where(accept, a, b), v_new, v)
+        lam = jnp.where(accept, lam * p.lambda_down, lam * p.lambda_up)
+        lam = jnp.clip(lam, 1e-10, 1e8)
+        cost = jnp.where(accept, new_cost, cost)
+        return (v, lam, cost), cost
+
+    cost0 = robust_cost(g, v0, p)
+    (v, _, cost), history = jax.lax.scan(
+        step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
+    )
+    return v, {"cost0": cost0, "cost": cost, "history": history}

@@ -14,7 +14,7 @@ import numpy as np
 from ..config import VDOConfig
 from ..pipeline.map_state import MapState
 from .builders import build_window_graph
-from .factor_graph import LMParams, Variables, lm_solve
+from .factor_graph import LMParams, Variables, lm_solve, lm_solve_schur
 
 
 def _np_inv(T):
@@ -25,11 +25,11 @@ def _np_inv(T):
 
 
 def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
-                     iters: int | None = None) -> dict:
+                     iters: int | None = None, solver: str = "schur") -> dict:
     be = cfg.backend
     graph, v0, meta = build_window_graph(m, cfg, window)
     p = LMParams(
-        iters=iters if iters is not None else min(be.local_iters, 25),
+        iters=iters if iters is not None else min(be.local_iters, 12),
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
         huber_delta=be.huber_delta,
@@ -39,7 +39,10 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
     )
-    v, info = lm_solve(graph, v0, p)
+    # static-only window: points couple only through obs edges, so the exact
+    # dense-Schur direct solver applies (and outruns matrix-free PCG)
+    solve = lm_solve_schur if solver == "schur" else lm_solve
+    v, info = solve(graph, v0, p)
     poses = np.asarray(v.poses)
     points = np.asarray(v.points)
 
