@@ -121,19 +121,33 @@ def detect_level(gray: jax.Array, ini_th: float, min_th: float, cell: int,
     score = nms3(score)
 
     H, W = gray.shape
-    flat = score.reshape(-1)
     # spatial balancing (the octree-distribution goal, ORBextractor.cc:528-752):
-    # cap detections per cell so one high-contrast region cannot hog the budget
-    n_cells = max((H // cell) * (W // cell), 1)
+    # per-cell top-quota via lax.top_k on a cells x cell-area view — no
+    # full-image sort (bitonic sorts over H*W dominate detector cost on TPU)
+    ph = (-H) % cell
+    pw = (-W) % cell
+    padded = jnp.pad(score, ((0, ph), (0, pw)), constant_values=0.0)
+    Hc = (H + ph) // cell
+    Wc = (W + pw) // cell
+    n_cells = Hc * Wc
     quota = max(-(-k // n_cells), 1)
-    ys_all = jnp.arange(H * W, dtype=jnp.int32) // W
-    xs_all = jnp.arange(H * W, dtype=jnp.int32) % W
-    cell_id = (ys_all // cell) * (W // cell + 1) + xs_all // cell
-    idx, ok = _select.quota_select(cell_id, flat > 0.0, flat, quota, k)
-    val = jnp.where(ok, flat[idx], 0.0)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    return jnp.stack([xs, ys], axis=-1), val, ok
+    cells = padded.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(n_cells, cell * cell)
+    top_v, top_i = jax.lax.top_k(cells, quota)          # (n_cells, quota)
+    # recover absolute pixel coords
+    cy = (jnp.arange(n_cells, dtype=jnp.int32) // Wc)[:, None] * cell
+    cx = (jnp.arange(n_cells, dtype=jnp.int32) % Wc)[:, None] * cell
+    yy = (cy + top_i // cell).reshape(-1).astype(jnp.float32)
+    xx = (cx + top_i % cell).reshape(-1).astype(jnp.float32)
+    vv = top_v.reshape(-1)
+    # global top-k over the small per-cell shortlist
+    idx, ok = _select.masked_top_k(vv, vv > 0.0, k)
+    val = jnp.where(ok, vv[idx], 0.0)
+    return (
+        jnp.stack([xx[idx], yy[idx]], axis=-1),
+        val,
+        ok,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "n_levels",

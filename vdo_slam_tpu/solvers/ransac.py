@@ -32,6 +32,30 @@ from ..geometry import se3
 from ..ops.select import compact
 
 
+def rigid_from_triangle(P: jax.Array, Q: jax.Array) -> jax.Array:
+    """Closed-form rigid transform from a 3-point correspondence (P -> Q).
+
+    Builds orthonormal frames on both triangles and composes them —
+    arithmetic only, no SVD/eigensolve (TPU small-matrix SVDs are iterative
+    and slow), exact for rigid triples, ideal as a vmapped RANSAC hypothesis
+    generator.  P, Q: (3, 3) rows are points.
+    """
+    def frame(A):
+        e1 = A[1] - A[0]
+        e1 = e1 / (jnp.linalg.norm(e1) + 1e-12)
+        v2 = A[2] - A[0]
+        e2 = v2 - jnp.dot(v2, e1) * e1
+        e2 = e2 / (jnp.linalg.norm(e2) + 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    Fp = frame(P)
+    Fq = frame(Q)
+    R = Fq @ Fp.T
+    t = jnp.mean(Q, axis=0) - R @ jnp.mean(P, axis=0)
+    return se3.from_Rt(R, t)
+
+
 def kabsch(P: jax.Array, Q: jax.Array, w: jax.Array) -> jax.Array:
     """Weighted rigid alignment: find T (4x4) minimizing sum w ||Q - T(P)||^2.
 
@@ -81,8 +105,7 @@ def ransac_rigid(X_src: jax.Array, X_tgt: jax.Array, uv_obs: jax.Array,
 
     Ps = X_src[idx]  # (S, 3, 3)
     Qs = X_tgt[idx]
-    w3 = jnp.ones((n_samples, 3))
-    Ts = jax.vmap(kabsch)(Ps, Qs, w3)  # (S, 4, 4)
+    Ts = jax.vmap(rigid_from_triangle)(Ps, Qs)  # (S, 4, 4)
 
     _, counts = jax.vmap(
         lambda T: reprojection_inliers(T, X_src, uv_obs, valid, K, thres)
