@@ -50,11 +50,19 @@ def main():
 
     W, H = 1242, 375
     t0 = time.perf_counter()
-    scene = make_scene(
-        num_frames=N_FRAMES + 1, width=W, height=H, num_objects=3,
-        fx=721.5377, seed=7,
-    )
-    log(f"scene generated in {time.perf_counter() - t0:.1f}s")
+    import pickle
+    from pathlib import Path
+
+    cache = Path(f"/tmp/vdo_bench_scene_{N_FRAMES}.pkl")
+    if cache.exists():
+        scene = pickle.loads(cache.read_bytes())
+    else:
+        scene = make_scene(
+            num_frames=N_FRAMES + 1, width=W, height=H, num_objects=3,
+            fx=721.5377, seed=7,
+        )
+        cache.write_bytes(pickle.dumps(scene))
+    log(f"scene ready in {time.perf_counter() - t0:.1f}s")
 
     cfg = VDOConfig()
     cfg = cfg.replace(
@@ -69,7 +77,9 @@ def main():
     )
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
 
-    sysm = System(cfg, enable_local_ba=True, enable_global_ba=False)
+    # fused mode: the whole per-frame pipeline in one device call
+    sysm = System(cfg, enable_local_ba=True, enable_global_ba=False,
+                  mode="fused")
 
     # ---- warmup (compilation)
     t0 = time.perf_counter()

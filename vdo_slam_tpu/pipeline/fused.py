@@ -61,19 +61,32 @@ class FusedTracker:
                 out[int(r[1])] = T_wc_gt @ obj_pose_parsing_kt(r)
         return out
 
-    def grab_frame(self, fd: FrameData) -> dict:
+    def device_inputs(self, fd: FrameData) -> dict:
+        """Stage a frame's tensors on device (async) — callable ahead of time
+        so uploads overlap the previous frame's compute (the double-buffered
+        host->device pipeline of SURVEY.md §2.3)."""
+        return {
+            "rgb": jax.device_put(np.asarray(fd.rgb, np.float32)),
+            "depth_raw": jax.device_put(np.asarray(fd.depth_raw, np.float32)),
+            "flow": jax.device_put(np.asarray(fd.flow, np.float32)),
+            "seg": jax.device_put(np.asarray(fd.mask, np.int32)),
+        }
+
+    def grab_frame(self, fd: FrameData, staged: dict | None = None,
+                   prefetch_cb=None) -> dict:
         t0 = time.perf_counter()
         T_cw_gt = self._gt_pose(fd.pose_gt_raw)
-        inputs = {
-            "rgb": jnp.asarray(fd.rgb),
-            "depth_raw": jnp.asarray(fd.depth_raw),
-            "flow": jnp.asarray(fd.flow),
-            "seg": jnp.asarray(fd.mask, jnp.int32),
-            "T_cw_gt": jnp.asarray(T_cw_gt),
-        }
+        inputs = staged if staged is not None else self.device_inputs(fd)
+        inputs = dict(inputs)
+        inputs["T_cw_gt"] = jnp.asarray(T_cw_gt)
         self.key, k = jax.random.split(self.key)
         self.state, metrics = self.step(self.state, inputs, k)
+        # stage the NEXT frame while this step computes (async dispatch):
+        # the upload rides alongside the device work, the archive sync below
+        # then only waits for whichever finishes last
+        prefetched = prefetch_cb() if prefetch_cb is not None else None
         self._archive(fd, metrics, T_cw_gt)
+        self._prefetched = prefetched
         out = {
             "frame_id": self.frame_id,
             "T_cw": np.asarray(self.state["frame"].T_cw),

@@ -48,10 +48,38 @@ class System:
 
     def run_sequence(self, dataset, max_frames: int | None = None,
                      verbose: bool = False) -> list[dict]:
-        """Demo-driver loop (example/vdo_slam.cc:98-141)."""
+        """Demo-driver loop (example/vdo_slam.cc:98-141).
+
+        In fused mode the next frame's tensors are staged on device while the
+        current frame computes (double-buffered host->device pipeline)."""
         n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
         reports = []
+        can_stage = hasattr(self.tracker, "device_inputs")
+        staged = None
+        fd = dataset[0] if n else None
+        next_fd = [None]
         for i in range(n):
+            if can_stage:
+                if staged is None:
+                    staged = self.tracker.device_inputs(fd)
+
+                def prefetch(idx=i):
+                    if idx + 1 < n:
+                        next_fd[0] = dataset[idx + 1]
+                        return self.tracker.device_inputs(next_fd[0])
+                    return None
+
+                rep = self.tracker.grab_frame(fd, staged, prefetch_cb=prefetch)
+                staged = getattr(self.tracker, "_prefetched", None)
+                if next_fd[0] is not None:
+                    fd = next_fd[0]
+                if verbose and "t_rpe" in rep:
+                    print(
+                        f"frame {i}: rpe t={rep['t_rpe']:.4f} "
+                        f"r={rep['r_rpe']:.4f} inliers={rep['n_inlier_cam']}"
+                    )
+                reports.append(rep)
+                continue
             rep = self.track_rgbd(dataset[i])
             if verbose and "t_rpe" in rep:
                 print(
