@@ -85,15 +85,29 @@ class FusedTracker:
         # the upload rides alongside the device work, the archive sync below
         # then only waits for whichever finishes last
         prefetched = prefetch_cb() if prefetch_cb is not None else None
-        self._archive(fd, metrics, T_cw_gt)
+        # ONE batched device->host transfer for everything the archive needs
+        # (separate np.asarray calls each pay a full round-trip)
+        fs = self.state["frame"]
+        host = jax.device_get({
+            "stat": (fs.static.xy, fs.static.depth, fs.static.point_w,
+                     fs.static.valid, fs.static.assoc),
+            "dyn": (fs.dynamic.xy, fs.dynamic.depth, fs.dynamic.point_w,
+                    fs.dynamic.valid, fs.dynamic.assoc,
+                    fs.dynamic.obj_label, fs.dynamic.sem_label),
+            "T_cw": fs.T_cw,
+            "velocity": fs.velocity,
+            "metrics": metrics,
+        })
+        self._archive(fd, host, T_cw_gt)
         self._prefetched = prefetched
+        hm = host["metrics"]
         out = {
             "frame_id": self.frame_id,
-            "T_cw": np.asarray(self.state["frame"].T_cw),
-            "t_rpe": float(metrics["t_rpe"]),
-            "r_rpe": float(metrics["r_rpe"]),
-            "n_inlier_cam": int(metrics["n_inlier"]),
-            "n_objects": int(metrics["n_objects"]),
+            "T_cw": host["T_cw"],
+            "t_rpe": float(hm["t_rpe"]),
+            "r_rpe": float(hm["r_rpe"]),
+            "n_inlier_cam": int(hm["n_inlier"]),
+            "n_objects": int(hm["n_objects"]),
             "wall_time": time.perf_counter() - t0,
         }
         self.frame_id += 1
@@ -109,21 +123,22 @@ class FusedTracker:
             self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
         return out
 
-    def _archive(self, fd: FrameData, metrics, T_cw_gt):
+    def _archive(self, fd: FrameData, host: dict, T_cw_gt):
         m = self.map
-        fs = self.state["frame"]
-        stat, dyn = fs.static, fs.dynamic
-        m.stat_xy.append(np.asarray(stat.xy))
-        m.stat_depth.append(np.asarray(stat.depth))
-        m.stat_3d.append(np.asarray(stat.point_w))
-        m.stat_valid.append(np.asarray(stat.valid))
-        m.dyn_xy.append(np.asarray(dyn.xy))
-        m.dyn_depth.append(np.asarray(dyn.depth))
-        m.dyn_3d.append(np.asarray(dyn.point_w))
-        m.dyn_valid.append(np.asarray(dyn.valid))
-        m.dyn_obj_label.append(np.asarray(dyn.obj_label))
-        m.dyn_sem_label.append(np.asarray(dyn.sem_label))
-        T_cw = np.asarray(fs.T_cw)
+        s_xy, s_d, s_3d, s_v, s_a = host["stat"]
+        d_xy, d_d, d_3d, d_v, d_a, d_ol, d_sl = host["dyn"]
+        metrics = host["metrics"]
+        m.stat_xy.append(s_xy)
+        m.stat_depth.append(s_d)
+        m.stat_3d.append(s_3d)
+        m.stat_valid.append(s_v)
+        m.dyn_xy.append(d_xy)
+        m.dyn_depth.append(d_d)
+        m.dyn_3d.append(d_3d)
+        m.dyn_valid.append(d_v)
+        m.dyn_obj_label.append(d_ol)
+        m.dyn_sem_label.append(d_sl)
+        T_cw = host["T_cw"]
         T_wc = _np_inv(T_cw)
         m.cam_pose.append(T_wc)
         m.cam_pose_rf.append(T_wc.copy())
@@ -134,14 +149,14 @@ class FusedTracker:
             self._last_obj_rows = fd.obj_gt_rows
             self._last_T_wc_gt = _np_inv(np.asarray(T_cw_gt))
             return
-        m.stat_assoc.append(np.asarray(stat.assoc))
-        m.dyn_assoc.append(np.asarray(dyn.assoc))
+        m.stat_assoc.append(s_a)
+        m.dyn_assoc.append(d_a)
 
         T_wc_gt = _np_inv(np.asarray(T_cw_gt))
         gt_cur = self._gt_obj(fd.obj_gt_rows, T_wc_gt)
         gt_last = self._gt_obj(self._last_obj_rows, self._last_T_wc_gt)
 
-        cam_motion = _np_inv(np.asarray(fs.velocity))
+        cam_motion = _np_inv(host["velocity"])
         mots = [cam_motion]
         # GT camera motion = Tcw_gt_last @ Twc_gt_cur (Tracking.cc:1136)
         mots_gt = [self._last_T_wc_gt_inv() @ T_wc_gt]
@@ -153,12 +168,12 @@ class FusedTracker:
         sp_est = [0.0]
         cents = [np.zeros(3, np.float32)]
 
-        active = np.asarray(metrics["slot_active"])
-        H_all = np.asarray(metrics["slot_H"])
-        sem_all = np.asarray(metrics["slot_sem"])
-        model_all = np.asarray(metrics["slot_model"])
-        cen_all = np.asarray(metrics["slot_centroid"])
-        speed_all = np.asarray(metrics["speeds"])
+        active = metrics["slot_active"]
+        H_all = metrics["slot_H"]
+        sem_all = metrics["slot_sem"]
+        model_all = metrics["slot_model"]
+        cen_all = metrics["slot_centroid"]
+        speed_all = metrics["speeds"]
         for k in range(active.shape[0]):
             if not active[k]:
                 continue
