@@ -118,6 +118,14 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None):
     tracks, _ = build_tracklets(m.stat_assoc, m.stat_valid)
     sel = [t for t in tracks
            if len(t) >= be.track_len_thres and t[0][0] >= start]
+    # fixed capacities so every window solve reuses ONE compiled executable:
+    # prefer long tracklets (most informative) when over budget
+    P_CAP = 4096
+    E_CAP = 24576
+    if len(sel) > P_CAP:
+        sel = sorted(sel, key=len, reverse=True)[:P_CAP]
+    while sum(len(t) for t in sel) > E_CAP:
+        sel = sel[: int(len(sel) * 0.9)]
 
     parts = _empty_parts()
     pts = []
@@ -150,14 +158,17 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None):
     parts["pri_meas_inv"].append(_np_inv(m.cam_pose[frames[0]]))
     parts["pri_w"].append(be.prior_information)
 
-    P = max(len(pts), 1)
+    # pad points to the fixed capacity (stable executable across windows)
+    pts_arr = (np.stack(pts).astype(np.float32).reshape(-1, 3)
+               if pts else np.zeros((1, 3), np.float32))
+    pad_p = np.zeros((P_CAP, 3), np.float32)
+    pad_p[: pts_arr.shape[0]] = pts_arr[:P_CAP]
     variables = Variables(
         poses=np.stack([m.cam_pose[f] for f in frames]).astype(np.float32),
         motions=np.eye(4, dtype=np.float32)[None],
-        points=(np.stack(pts).astype(np.float32).reshape(-1, 3)
-                if pts else np.zeros((1, 3), np.float32)),
+        points=pad_p,
     )
-    graph = _pad_graph(parts, W, 1, 1024)
+    graph = _pad_graph(parts, W, 1, E_CAP)  # single bucket: stable shapes
     meta = GraphMeta(
         frame_ids=frames, static_tracks=meta_tracks, n_static_points=len(pts),
         dyn_obs=[], motion_slots=[], n_poses=W, n_motions=1,
