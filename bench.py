@@ -5,11 +5,9 @@ scene-flow classification, per-object motion LM, renewal, windowed BA every
 16 frames) on a KITTI-sized (1242x375) synthetic sequence with exact GT, and
 reports frames/sec plus accuracy sanity numbers.
 
-Baseline: the reference C++ VDO-SLAM publishes no numbers (BASELINE.md); its
-own timing harness on KITTI-sized frames runs the equivalent single-threaded
-pipeline at ~5 fps on desktop CPUs (sum of the per-stage wall-clock spans the
-reference prints via System::SaveResults; see BASELINE.md "assumed baseline").
-vs_baseline = measured_fps / 5.0.
+Baseline: MEASURED — the reference C++ binary, built on this machine and run
+single-threaded on the IDENTICAL synthetic input sequence, does 0.875 fps
+(BASELINE.md "MEASURED baseline").  vs_baseline = measured_fps / 0.875.
 
 Prints ONE json line on stdout; diagnostics go to stderr.
 """
@@ -23,7 +21,7 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 5.0
+BASELINE_FPS = 0.875  # MEASURED: reference C++ on identical synthetic input (BASELINE.md)
 N_FRAMES = 36
 WARMUP_FRAMES = 4
 
@@ -83,15 +81,24 @@ def main():
 
     # ---- warmup (compilation)
     t0 = time.perf_counter()
-    for i in range(WARMUP_FRAMES):
-        sysm.track_rgbd(ds[i])
+    sysm.run_sequence(ds, max_frames=WARMUP_FRAMES)
     log(f"warmup {WARMUP_FRAMES} frames (incl. compile): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    # ---- timed run
+    # ---- timed run (staged-input pipeline)
+    class _Tail:
+        def __init__(self, base, start):
+            self.base, self.start = base, start
+
+        def __len__(self):
+            return len(self.base) - self.start
+
+        def __getitem__(self, i):
+            return self.base[self.start + i]
+
     n_timed = len(ds) - WARMUP_FRAMES
     t0 = time.perf_counter()
-    reports = [sysm.track_rgbd(ds[i]) for i in range(WARMUP_FRAMES, len(ds))]
+    reports = sysm.run_sequence(_Tail(ds, WARMUP_FRAMES))
     elapsed = time.perf_counter() - t0
     fps = n_timed / elapsed
 
