@@ -48,17 +48,21 @@ def make_stream_state(cfg: VDOConfig):
     }
 
 
-def make_frame_step(cfg: VDOConfig):
+def make_frame_step(cfg: VDOConfig, vmappable: bool = False):
     """One fully-fused per-frame tracking step (single stream).
 
     Returns step(state, inputs, key) -> (state, metrics) where inputs is a
     dict(rgb, depth_raw, flow, seg, T_cw_gt).  The first call per stream
     initializes (frame-0 semantics); subsequent calls track.  Entirely
     jit-compatible: the frame-0 branch is a lax.cond.
+
+    vmappable=True selects the jnp FAST path (the hand-tiled Pallas kernel
+    does not yet support vmap's batching rule).
     """
     tr = cfg.tracking
     # build stage bodies WITHOUT their own jit wrappers
-    prep_fn = _unjit(stages.make_prepare(cfg))
+    prep_fn = _unjit(stages.make_prepare(
+        cfg, use_pallas=False if vmappable else None))
     inherit_fn = _unjit(stages.make_inherit(cfg))
     camera_fn = _unjit(stages.make_camera_stage(cfg))
     sflow_fn = _unjit(stages.make_scene_flow(cfg))
@@ -197,7 +201,7 @@ def make_multistream_step(cfg: VDOConfig, mesh: Mesh, axis: str = "stream"):
     `axis`; cross-stream mean metrics come back replicated (XLA inserts the
     all-reduce over ICI).
     """
-    step = make_frame_step(cfg)
+    step = make_frame_step(cfg, vmappable=True)
     vstep = jax.vmap(step)
 
     data_sharding = NamedSharding(mesh, P(axis))

@@ -32,12 +32,18 @@ from .tracking import _np_inv, obj_pose_parsing_kt, obj_pose_parsing_ox
 class FusedTracker:
     """Single-stream tracker built on the fused frame step."""
 
+    MAX_FRAMES = 8192
+
     def __init__(self, cfg: VDOConfig, game_map: MapState | None = None):
         self.cfg = cfg
         self.map = game_map if game_map is not None else MapState()
         self.step = jax.jit(make_frame_step(cfg))
         self.state = make_stream_state(cfg)
-        self.key = jax.random.PRNGKey(cfg.seed)
+        # pre-split the whole run's PRNG keys ONCE; host-resident so no
+        # per-frame device round-trip for jax.random.split
+        self._keys = np.asarray(
+            jax.random.split(jax.random.PRNGKey(cfg.seed), self.MAX_FRAMES)
+        )
         self.frame_id = 0
         self.origin_inv: np.ndarray | None = None
         self._last_obj_rows = np.zeros((0, 10), np.float32)
@@ -62,24 +68,26 @@ class FusedTracker:
         return out
 
     def device_inputs(self, fd: FrameData) -> dict:
-        """Stage a frame's tensors on device (async) — callable ahead of time
-        so uploads overlap the previous frame's compute (the double-buffered
-        host->device pipeline of SURVEY.md §2.3)."""
-        return {
-            "rgb": jax.device_put(np.asarray(fd.rgb, np.float32)),
-            "depth_raw": jax.device_put(np.asarray(fd.depth_raw, np.float32)),
-            "flow": jax.device_put(np.asarray(fd.flow, np.float32)),
-            "seg": jax.device_put(np.asarray(fd.mask, np.int32)),
-        }
+        """Stage a frame's tensors on device in ONE batched transfer (async)
+        — callable ahead of time so uploads overlap the previous frame's
+        compute (the double-buffered host->device pipeline, SURVEY.md §2.3)."""
+        T_cw_gt = self._gt_pose(fd.pose_gt_raw)
+        staged = jax.device_put({
+            "rgb": np.asarray(fd.rgb, np.float32),
+            "depth_raw": np.asarray(fd.depth_raw, np.float32),
+            "flow": np.asarray(fd.flow, np.float32),
+            "seg": np.asarray(fd.mask, np.int32),
+            "T_cw_gt": np.asarray(T_cw_gt, np.float32),
+        })
+        staged["_T_cw_gt_host"] = T_cw_gt
+        return staged
 
     def grab_frame(self, fd: FrameData, staged: dict | None = None,
                    prefetch_cb=None) -> dict:
         t0 = time.perf_counter()
-        T_cw_gt = self._gt_pose(fd.pose_gt_raw)
-        inputs = staged if staged is not None else self.device_inputs(fd)
-        inputs = dict(inputs)
-        inputs["T_cw_gt"] = jnp.asarray(T_cw_gt)
-        self.key, k = jax.random.split(self.key)
+        inputs = dict(staged) if staged is not None else dict(self.device_inputs(fd))
+        T_cw_gt = inputs.pop("_T_cw_gt_host")
+        k = self._keys[self.frame_id % self.MAX_FRAMES]  # host-resident key
         self.state, metrics = self.step(self.state, inputs, k)
         # stage the NEXT frame while this step computes (async dispatch):
         # the upload rides alongside the device work, the archive sync below

@@ -51,7 +51,7 @@ def _lm_params(cfg: VDOConfig, for_objects: bool) -> FlowLMParams:
 # prepare
 # --------------------------------------------------------------------------
 
-def make_prepare(cfg: VDOConfig):
+def make_prepare(cfg: VDOConfig, use_pallas: bool | None = None):
     B = cfg.shapes.max_static
     D = cfg.shapes.max_dynamic
     fe = cfg.frontend
@@ -73,6 +73,7 @@ def make_prepare(cfg: VDOConfig):
                 gray, n_features=fe.n_features, n_levels=fe.n_levels,
                 scale_factor=fe.scale_factor, ini_th=float(fe.ini_th_fast),
                 min_th=float(fe.min_th_fast), cell=fe.fast_cell,
+                use_pallas=use_pallas,
             )
             xy, v, score = det["xy"], det["valid"], det["score"]
         stat = frontend.static_candidates(
