@@ -144,3 +144,17 @@ class TestArtifacts:
         lens = [len(t) for t in tracks]
         assert len(tracks) > 100
         assert max(lens) >= 4  # some features survive several frames
+
+
+class TestNonJointMode:
+    def test_pipeline_with_joint_flow_disabled(self, scene):
+        """The reference's bJoint=false path end-to-end."""
+        from vdo_slam_tpu.io.dataset import SyntheticDataset
+        from vdo_slam_tpu.pipeline import System
+
+        cfg = small_config(scene, joint_flow=False)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+        reports = sysm.run_sequence(ds, max_frames=5)
+        rpes = [r["t_rpe"] for r in reports if "t_rpe" in r]
+        assert np.mean(rpes) < 0.05, rpes

@@ -168,3 +168,63 @@ class TestRansac:
         )
         assert bool(used_mm)
         assert int(n) > 150
+
+
+class TestReprojLM:
+    """Non-joint (bJoint=false) solver path — PoseOptimizationNew/ObjMot."""
+
+    def test_camera_recovery(self):
+        from vdo_slam_tpu.solvers import reproj_lm
+
+        pb = make_problem(jax.random.PRNGKey(20))
+        uv_obs = pb["uv_last"] + pb["flow"]
+        p = reproj_lm.ReprojLMParams(iters=25)
+        out = reproj_lm.solve_camera(
+            pb["T_cw_last"], uv_obs, pb["uv_last"], pb["depth_last"],
+            pb["T_cw_last"], pb["valid"], K, p,
+        )
+        assert pose_err(out["T"], pb["T_cw_cur"]) < 2e-3
+        assert int(out["n_inlier"]) > 190
+
+    def test_camera_outlier_rejection(self):
+        from vdo_slam_tpu.solvers import reproj_lm
+
+        pb = make_problem(jax.random.PRNGKey(21), outlier_frac=0.2)
+        uv_obs = pb["uv_last"] + pb["flow"]
+        p = reproj_lm.ReprojLMParams(iters=30)
+        out = reproj_lm.solve_camera(
+            pb["T_cw_last"], uv_obs, pb["uv_last"], pb["depth_last"],
+            pb["T_cw_last"], pb["valid"], K, p,
+        )
+        assert pose_err(out["T"], pb["T_cw_cur"]) < 0.01
+        assert np.asarray(out["inlier"])[: pb["n_out"]].sum() == 0
+
+    def test_object_motion_vmapped(self):
+        from vdo_slam_tpu.geometry import se3 as s3
+        from vdo_slam_tpu.solvers import reproj_lm
+
+        H = s3.exp(jnp.asarray([0.0, 0.02, 0.0, 0.5, 0.0, 0.7]))
+        pb = make_problem(jax.random.PRNGKey(22), motion=H)
+        uv_obs = pb["uv_last"] + pb["flow"]
+        G_true = pb["T_cw_cur"] @ H
+        p = reproj_lm.ReprojLMParams(iters=30, robust=False)
+        out = reproj_lm.solve_objects(
+            pb["T_cw_cur"][None], uv_obs, pb["uv_last"], pb["depth_last"],
+            pb["T_cw_last"], pb["valid"][None], K, p,
+        )
+        assert pose_err(out["T"][0], G_true) < 5e-3
+
+    def test_depth_noise_injection_degrades_gracefully(self):
+        from vdo_slam_tpu.solvers import reproj_lm
+
+        pb = make_problem(jax.random.PRNGKey(23))
+        uv_obs = pb["uv_last"] + pb["flow"]
+        p = reproj_lm.ReprojLMParams(iters=25)
+        out = reproj_lm.solve_pose(
+            pb["T_cw_last"], uv_obs, pb["uv_last"], pb["depth_last"],
+            pb["T_cw_last"], pb["valid"], K, p,
+            noise_key=jax.random.PRNGKey(0),
+            noise_scale=0.15 / (725.0 * 0.5),
+        )
+        # noisy anchors -> worse than clean but still in the ballpark
+        assert pose_err(out["T"], pb["T_cw_cur"]) < 0.05

@@ -150,14 +150,31 @@ def make_camera_stage(cfg: VDOConfig):
             T_r, mask_r, n_r, T_mm, X_w, cur_xy, valid, K,
             thres=s.ransac_reproj_thres,
         )
-        out = flow_lm.solve(
-            T0, stat_last.xy, stat_last.depth, stat_last.flow, T_cw_last,
-            init_inlier, K, p,
-        )
+        if cfg.tracking.joint_flow:
+            out = flow_lm.solve(
+                T0, stat_last.xy, stat_last.depth, stat_last.flow, T_cw_last,
+                init_inlier, K, p,
+            )
+            uv_cur = jnp.where(
+                out["inlier"][:, None], stat_last.xy + out["flow"], cur_xy
+            )
+        else:
+            # legacy non-joint path (PoseOptimizationNew semantics, with the
+            # reference's synthetic depth-noise fault injection)
+            from . import stages as _self  # noqa
+            from ..solvers import reproj_lm
+
+            rp = reproj_lm.ReprojLMParams(iters=p.iters)
+            nkey = jax.random.fold_in(key, 1) if cfg.tracking.depth_noise else None
+            out = reproj_lm.solve_pose(
+                T0, cur_xy, stat_last.xy, stat_last.depth, T_cw_last,
+                init_inlier, K, rp, noise_key=nkey,
+                noise_scale=cfg.tracking.depth_noise_scale,
+            )
+            out = dict(out)
+            out["repro_err"] = jnp.sqrt(jnp.maximum(out["chi2"], 0.0)).mean()
+            uv_cur = cur_xy
         T_cw = out["T"]
-        uv_cur = jnp.where(
-            out["inlier"][:, None], stat_last.xy + out["flow"], cur_xy
-        )
         vel_new = T_cw @ se3.inv(T_cw_last)
         from ..geometry import metrics
         t_rpe, r_rpe = metrics.camera_rpe(T_cw, T_cw_last, T_cw_gt_cur,
@@ -251,10 +268,26 @@ def make_objects_stage(cfg: VDOConfig):
             members, keys, slot_has_mm, slot_H_prev
         )
 
-        out = flow_lm.solve_objects(
-            G0, dyn_last.xy, dyn_last.depth, dyn_last.flow, T_cw_last,
-            init_inlier, K, p,
-        )
+        if cfg.tracking.joint_flow:
+            out = flow_lm.solve_objects(
+                G0, dyn_last.xy, dyn_last.depth, dyn_last.flow, T_cw_last,
+                init_inlier, K, p,
+            )
+        else:
+            # legacy non-joint path (PoseOptimizationObjMot: no robust kernel)
+            from ..solvers import reproj_lm
+
+            rp = reproj_lm.ReprojLMParams(iters=p.iters, robust=False)
+            out = reproj_lm.solve_objects(
+                G0, cur_xy, dyn_last.xy, dyn_last.depth, T_cw_last,
+                init_inlier, K, rp,
+            )
+            out = dict(out)
+            # no flow refinement in this mode: keep current positions
+            out["flow"] = jnp.broadcast_to(
+                cur_xy - dyn_last.xy, (G0.shape[0],) + dyn_last.xy.shape
+            )
+            out["repro_err"] = jnp.zeros((G0.shape[0],))
         G = out["T"]
         H = se3.inv(T_cw_cur)[None] @ G  # vObjMod = Twc * G (Tracking.cc:933)
 
