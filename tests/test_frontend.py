@@ -229,3 +229,67 @@ class TestPallasFAST:
         pi, _ = fast_score_pair_pallas(gi, 15 / 255.0, 7 / 255.0,
                                        interpret=True)
         np.testing.assert_allclose(np.asarray(pi), np.asarray(ref), atol=0)
+
+
+class TestGrid:
+    def test_assign_and_query(self):
+        from vdo_slam_tpu.ops import grid
+
+        xy = jnp.array([[10.0, 10.0], [12.0, 11.0], [600.0, 300.0],
+                        [0.0, 0.0]])
+        valid = jnp.array([True, True, True, False])
+        table, counts = grid.assign_to_grid(xy, valid, width=640, height=480,
+                                            cap=4)
+        assert int(counts.sum()) == 3
+        idx, ok = grid.features_in_area(xy, valid, jnp.array([11.0, 10.0]),
+                                        radius=5.0, k=4)
+        found = set(np.asarray(idx)[np.asarray(ok)].tolist())
+        assert found == {0, 1}
+
+
+class TestUndistort:
+    def test_zero_distortion_identity(self):
+        from vdo_slam_tpu.ops import undistort
+
+        K = jnp.asarray([500.0, 500.0, 320.0, 240.0])
+        uv = jnp.array([[100.0, 50.0], [320.0, 240.0]])
+        out = undistort.undistort_points(uv, K, jnp.zeros(5))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(uv), atol=1e-4)
+
+    def test_roundtrip_with_distortion(self):
+        from vdo_slam_tpu.ops import undistort
+
+        K = jnp.asarray([500.0, 500.0, 320.0, 240.0])
+        dist = jnp.asarray([-0.2, 0.05, 0.001, -0.001, 0.0])
+        # distort some ideal points, then undistort back
+        uv_ideal = jnp.array([[100.0, 80.0], [500.0, 400.0], [320.0, 240.0]])
+        xn = jnp.stack([(uv_ideal[:, 0] - 320) / 500,
+                        (uv_ideal[:, 1] - 240) / 500], axis=-1)
+        xd = undistort.distort_normalized(xn, dist)
+        uv_dist = jnp.stack([xd[:, 0] * 500 + 320, xd[:, 1] * 500 + 240],
+                            axis=-1)
+        rec = undistort.undistort_points(uv_dist, K, dist)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(uv_ideal),
+                                   atol=0.02)
+
+
+class TestVisualize:
+    def test_draw_frame_and_trajectory(self, tmp_path):
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.eval.visualize import draw_frame, draw_trajectory
+        from vdo_slam_tpu.io.dataset import SyntheticDataset
+        from vdo_slam_tpu.io.synthetic import make_scene
+        from vdo_slam_tpu.pipeline import System
+
+        sc = make_scene(num_frames=3, width=160, height=120, num_objects=1)
+        cfg = small_config(sc)
+        ds = SyntheticDataset(sc, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+        sysm.run_sequence(ds)
+        m = sysm.map
+        p1 = draw_frame(sc.rgb[1], m.stat_xy[1], m.stat_valid[1],
+                        m.dyn_xy[1], m.dyn_obj_label[1], m.dyn_valid[1],
+                        tmp_path / "frame.png")
+        p2 = draw_trajectory(m, tmp_path / "traj.png")
+        assert (tmp_path / "frame.png").stat().st_size > 5000
+        assert (tmp_path / "traj.png").stat().st_size > 5000
