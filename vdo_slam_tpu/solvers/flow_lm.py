@@ -58,6 +58,9 @@ class FlowLMParams:
     lambda_up: float = 10.0
     lambda_down: float = 0.5
     min_corres: int = 3           # reference bails below 3 (Optimizer.cc:2450)
+    gain_eps: float = 1e-5        # early stop: relative cost decrease below
+                                  # this twice in a row ends the loop (the
+                                  # g2o gain-threshold terminate action)
 
 
 def _proj_jacobian(Y: jax.Array, K: jax.Array) -> jax.Array:
@@ -131,8 +134,8 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
     vf = valid.astype(jnp.float32)
     s_p, s_f = p.info_proj, p.info_flow
 
-    def lm_step(carry, _):
-        T, f, lam, cost = carry
+    def lm_step(carry):
+        T, f, lam, cost, it, stall = carry
         r_p, r_f, Y = _residuals(T, f, X_w, uv_last, nf, K)
         chi2_p = s_p * jnp.sum(r_p * r_p, axis=-1)
         w = _huber_weight(chi2_p, p.rp_thres) * vf           # (N,)
@@ -158,17 +161,27 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
         f_new = f + df
         new_cost = _cost(T_new, f_new, X_w, uv_last, nf, valid, K, p)
         accept = new_cost < cost
+        # stall counter: two consecutive sub-eps relative improvements stop
+        # the loop (g2o SparseOptimizerTerminateAction semantics)
+        rel_gain = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        small = jnp.where(accept, rel_gain < p.gain_eps, stall + 1 > stall)
+        stall = jnp.where(small, stall + 1, 0)
         T = jnp.where(accept, T_new, T)
         f = jnp.where(accept, f_new, f)
         lam = jnp.where(accept, lam * p.lambda_down, lam * p.lambda_up)
         lam = jnp.clip(lam, 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
-        return (T, f, lam, cost), None
+        return (T, f, lam, cost, it + 1, stall)
+
+    def lm_cond(carry):
+        _, _, _, _, it, stall = carry
+        return (it < p.iters) & (stall < 2)
 
     cost0 = _cost(T_init, nf, X_w, uv_last, nf, valid, K, p)
-    (T, f, _, _), _ = jax.lax.scan(
-        lm_step, (T_init, nf, jnp.asarray(p.lambda_init), cost0), None,
-        length=p.iters,
+    (T, f, _, _, _, _) = jax.lax.while_loop(
+        lm_cond, lm_step,
+        (T_init, nf, jnp.asarray(p.lambda_init), cost0,
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
 
     # outlier classification on unrobustified chi2 (Optimizer.cc:2484-2506)
