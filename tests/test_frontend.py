@@ -293,3 +293,33 @@ class TestVisualize:
         p2 = draw_trajectory(m, tmp_path / "traj.png")
         assert (tmp_path / "frame.png").stat().st_size > 5000
         assert (tmp_path / "traj.png").stat().st_size > 5000
+
+
+class TestORB:
+    def test_orientation_gradient_direction(self):
+        from vdo_slam_tpu.ops import orb
+
+        # intensity ramp along +x -> centroid to the right -> angle ~ 0
+        img = jnp.tile(jnp.linspace(0, 1, 64)[None, :], (64, 1))
+        ang = orb.orientations(img, jnp.array([[32.0, 32.0]]))
+        assert abs(float(ang[0])) < 0.1
+        # ramp along +y -> angle ~ pi/2
+        ang2 = orb.orientations(img.T, jnp.array([[32.0, 32.0]]))
+        assert abs(float(ang2[0]) - np.pi / 2) < 0.1
+
+    def test_descriptor_selfmatch_under_translation(self):
+        from vdo_slam_tpu.ops import orb
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((128, 128)).astype(np.float32))
+        pts_a = jnp.asarray(rng.uniform(30, 98, size=(20, 2)).astype(np.float32))
+        da = orb.descriptors(img, pts_a)
+        # same image shifted by whole pixels: descriptors at shifted points match
+        shift = jnp.asarray([3.0, 2.0])
+        img_b = jnp.roll(img, shift=(2, 3), axis=(0, 1))
+        db = orb.descriptors(img_b, pts_a + shift[None])
+        valid = jnp.ones(20, bool)
+        best, dist = orb.match_hamming(da, db, valid, valid)
+        # most keypoints match themselves with small Hamming distance
+        self_match = (np.asarray(best) == np.arange(20)).mean()
+        assert self_match > 0.8, (self_match, np.asarray(dist))
