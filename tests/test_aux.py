@@ -109,3 +109,38 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "metrics_initial" in out
         assert (tmp_path / "initial_stereo_new.txt").exists()
+
+
+class TestFusedCheckpoint:
+    def test_fused_roundtrip(self, tracked, tmp_path):
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.io.dataset import SyntheticDataset
+        from vdo_slam_tpu.io.synthetic import make_scene
+        from vdo_slam_tpu.pipeline import System
+        from vdo_slam_tpu.utils.checkpoint import (
+            load_fused_checkpoint, save_fused_checkpoint,
+        )
+
+        scene = make_scene(num_frames=6, width=320, height=240,
+                           num_objects=1, seed=5)
+        cfg = small_config(scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        a = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                   mode="fused")
+        for i in range(3):
+            a.track_rgbd(ds[i])
+        ck = tmp_path / "f.pkl"
+        save_fused_checkpoint(a.tracker, ck)
+        for i in range(3, 5):
+            a.track_rgbd(ds[i])
+
+        b = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                   mode="fused")
+        load_fused_checkpoint(b.tracker, ck)
+        b.map = b.tracker.map
+        for i in range(3, 5):
+            b.track_rgbd(ds[i])
+        np.testing.assert_allclose(
+            np.stack(a.map.cam_pose), np.stack(b.tracker.map.cam_pose),
+            atol=1e-5,
+        )

@@ -82,21 +82,9 @@ class FusedTracker:
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
 
-    def grab_frame(self, fd: FrameData, staged: dict | None = None,
-                   prefetch_cb=None) -> dict:
-        t0 = time.perf_counter()
-        inputs = dict(staged) if staged is not None else dict(self.device_inputs(fd))
-        T_cw_gt = inputs.pop("_T_cw_gt_host")
-        k = self._keys[self.frame_id % self.MAX_FRAMES]  # host-resident key
-        self.state, metrics = self.step(self.state, inputs, k)
-        # stage the NEXT frame while this step computes (async dispatch):
-        # the upload rides alongside the device work, the archive sync below
-        # then only waits for whichever finishes last
-        prefetched = prefetch_cb() if prefetch_cb is not None else None
-        # ONE batched device->host transfer for everything the archive needs
-        # (separate np.asarray calls each pay a full round-trip)
+    def _outputs_tree(self, metrics):
         fs = self.state["frame"]
-        host = jax.device_get({
+        return {
             "stat": (fs.static.xy, fs.static.depth, fs.static.point_w,
                      fs.static.valid, fs.static.assoc),
             "dyn": (fs.dynamic.xy, fs.dynamic.depth, fs.dynamic.point_w,
@@ -105,31 +93,73 @@ class FusedTracker:
             "T_cw": fs.T_cw,
             "velocity": fs.velocity,
             "metrics": metrics,
-        })
-        self._archive(fd, host, T_cw_gt)
-        self._prefetched = prefetched
+        }
+
+    def _drain_pending(self):
+        """Archive the previous frame's (async-copied) outputs."""
+        if getattr(self, "_pending", None) is None:
+            return None
+        fd_p, T_cw_gt_p, fid_p, tree, t0_p = self._pending
+        self._pending = None
+        host = jax.tree.map(np.asarray, tree)  # copies already in flight
+        save_fid = self.frame_id
+        self.frame_id = fid_p
+        self._archive(fd_p, host, T_cw_gt_p)
+        self.frame_id = save_fid
         hm = host["metrics"]
-        out = {
-            "frame_id": self.frame_id,
+        rep = {
+            "frame_id": fid_p,
             "T_cw": host["T_cw"],
             "t_rpe": float(hm["t_rpe"]),
             "r_rpe": float(hm["r_rpe"]),
             "n_inlier_cam": int(hm["n_inlier"]),
             "n_objects": int(hm["n_objects"]),
-            "wall_time": time.perf_counter() - t0,
+            "wall_time": time.perf_counter() - t0_p,
         }
-        self.frame_id += 1
-
-        # windowed BA trigger (Tracking.cc:1168-1183)
+        # windowed BA trigger on the ARCHIVED frame (Tracking.cc:1168-1183)
         tr = self.cfg.tracking
-        f_id = self.frame_id - 1
         w, o = tr.window_size, tr.overlap_size
-        if (self.local_ba_hook is not None and f_id >= w - 1
-                and (f_id - o + 1) % (w - o) == 0):
+        if (self.local_ba_hook is not None and fid_p >= w - 1
+                and (fid_p - o + 1) % (w - o) == 0):
             t5 = time.perf_counter()
             self.local_ba_hook(self.map)
             self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
-        return out
+        return rep
+
+    def grab_frame(self, fd: FrameData, staged: dict | None = None,
+                   prefetch_cb=None) -> dict:
+        """Fully-pipelined frame processing.
+
+        The step is dispatched asynchronously, its outputs start async
+        device->host copies immediately, and the PREVIOUS frame's outputs
+        (whose copies overlapped this step's compute) are archived.  The
+        returned report therefore describes frame_id-1; call flush() at the
+        end of a sequence for the final frame.  This removes all blocking
+        round-trips from the steady-state loop — the only waits left are
+        true data dependencies.
+        """
+        t0 = time.perf_counter()
+        inputs = dict(staged) if staged is not None else dict(self.device_inputs(fd))
+        T_cw_gt = inputs.pop("_T_cw_gt_host")
+        k = self._keys[self.frame_id % self.MAX_FRAMES]  # host-resident key
+        self.state, metrics = self.step(self.state, inputs, k)
+        # stage the NEXT frame while this step computes
+        prefetched = prefetch_cb() if prefetch_cb is not None else None
+        self._prefetched = prefetched
+        # start async copies of this frame's outputs
+        tree = self._outputs_tree(metrics)
+        for leaf in jax.tree.leaves(tree):
+            leaf.copy_to_host_async()
+        rep_prev = self._drain_pending()
+        self._pending = (fd, T_cw_gt, self.frame_id, tree, t0)
+        self.frame_id += 1
+        if rep_prev is None:
+            rep_prev = {"frame_id": -1, "pipelining": True}
+        return rep_prev
+
+    def flush(self) -> dict | None:
+        """Archive the final in-flight frame (call once after the loop)."""
+        return self._drain_pending()
 
     def _archive(self, fd: FrameData, host: dict, T_cw_gt):
         m = self.map

@@ -73,12 +73,13 @@ class System:
                 staged = getattr(self.tracker, "_prefetched", None)
                 if next_fd[0] is not None:
                     fd = next_fd[0]
-                if verbose and "t_rpe" in rep:
-                    print(
-                        f"frame {i}: rpe t={rep['t_rpe']:.4f} "
-                        f"r={rep['r_rpe']:.4f} inliers={rep['n_inlier_cam']}"
-                    )
-                reports.append(rep)
+                if not rep.get("pipelining"):
+                    if verbose and "t_rpe" in rep:
+                        print(
+                            f"frame {rep['frame_id']}: rpe t={rep['t_rpe']:.4f} "
+                            f"r={rep['r_rpe']:.4f} inliers={rep['n_inlier_cam']}"
+                        )
+                    reports.append(rep)
                 continue
             rep = self.track_rgbd(dataset[i])
             if verbose and "t_rpe" in rep:
@@ -88,6 +89,11 @@ class System:
                     f"{[(o['model_label'], round(o['speed'], 1)) for o in rep['objects'] if o['status']]}"
                 )
             reports.append(rep)
+        # drain the async-archive pipeline (fused mode lags one frame)
+        if hasattr(self.tracker, "flush"):
+            final = self.tracker.flush()
+            if final is not None:
+                reports.append(final)
         # final-frame global refinement (Tracking.cc:1190-1208, KITTI only in
         # the reference; here gated by enable_global_ba)
         if self.enable_global_ba and self.map.num_frames > 2:
@@ -96,11 +102,18 @@ class System:
             full_ba_inplace(self.map, self.cfg)
         return reports
 
+    def _flush(self):
+        if hasattr(self.tracker, "flush"):
+            self.tracker.flush()
+
     def metrics(self, refined: bool = False) -> dict:
+        self._flush()
         return results_mod.metric_report(self.map, refined=refined)
 
     def timing(self) -> dict:
+        self._flush()
         return results_mod.timing_summary(self.map)
 
     def save_results(self, out_dir: str | Path) -> None:
+        self._flush()
         results_mod.save_results(self.map, out_dir)

@@ -72,3 +72,39 @@ def load_checkpoint(tracker: Tracker, path: str | Path) -> Tracker:
         tracker._last_tracks.append(t)
     tracker.map.__dict__.update(payload["map"].__dict__)
     return tracker
+
+
+def save_fused_checkpoint(tracker, path: str | Path) -> None:
+    """Checkpoint for the fused-mode tracker (device state pytree + host
+    bookkeeping + archive)."""
+    if hasattr(tracker, "flush"):
+        tracker.flush()  # drain the async-archive pipeline first
+    payload = {
+        "version": 1,
+        "kind": "fused",
+        "frame_id": tracker.frame_id,
+        "origin_inv": tracker.origin_inv,
+        "keys": tracker._keys,
+        "state": jax.tree.map(lambda x: np.asarray(x), tracker.state),
+        "last_obj_rows": tracker._last_obj_rows,
+        "last_T_wc_gt": tracker._last_T_wc_gt,
+        "map": tracker.map,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_fused_checkpoint(tracker, path: str | Path):
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload.get("kind") == "fused"
+    tracker.frame_id = payload["frame_id"]
+    tracker.origin_inv = payload["origin_inv"]
+    tracker._keys = payload["keys"]
+    tracker.state = jax.tree.map(jnp.asarray, payload["state"])
+    tracker._last_obj_rows = payload["last_obj_rows"]
+    tracker._last_T_wc_gt = payload["last_T_wc_gt"]
+    tracker.map.__dict__.update(payload["map"].__dict__)
+    return tracker
