@@ -280,3 +280,25 @@ class TestSchurSolver:
         info2 = local_ba_inplace(m2, cfg, window=6, iters=8, solver="pcg")
         # both solvers land at comparable cost
         assert info["cost"] <= info2["cost"] * 1.5 + 1e-3
+
+
+class TestShardedBA:
+    def test_sharded_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+        from vdo_slam_tpu.backend.factor_graph import lm_solve_sharded
+
+        t = TestLM()
+        g, v0, poses_gt, pts_gt = t._pose_chain_problem()
+        p = LMParams(iters=10, cg_iters=60, robust=False)
+        v_ref, info_ref = lm_solve(g, v0, p)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("ba",))
+        v_sh, info_sh = lm_solve_sharded(g, v0, p, mesh)
+        err = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            v_sh.poses, v_ref.poses))
+        assert np.abs(err).max() < 1e-3, np.abs(err).max()
+        np.testing.assert_allclose(
+            float(info_sh["cost"]), float(info_ref["cost"]),
+            rtol=0.1, atol=1e-4,
+        )

@@ -87,6 +87,9 @@ class LMParams:
     huber_delta: float = 1e-4     # reference deltaHuber* (Optimizer.cc:1352)
     robust: bool = True
     gain_eps: float = 0.0         # optional early-stop on relative decrease
+    axis_name: str | None = None  # set under shard_map: edges sharded over
+                                  # this mesh axis, psum the reductions (the
+                                  # ICI-sharded BA of SURVEY.md §5.8)
 
 
 # --------------------------------------------------------------------------
@@ -124,6 +127,12 @@ def _huber_w(r, w, delta, robust):
     return jnp.where(chi2 <= d2, 1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-24)))
 
 
+def _maybe_psum(x, p):
+    if p.axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name=p.axis_name)
+
+
 def robust_cost(g: Graph, v: Variables, p: LMParams):
     """Total Huber-robustified cost (the LM acceptance criterion)."""
     rs = residuals(g, v)
@@ -140,7 +149,7 @@ def robust_cost(g: Graph, v: Variables, p: LMParams):
         else:
             rho = chi2
         total = total + jnp.sum(rho)
-    return total
+    return _maybe_psum(total, p)
 
 
 # --------------------------------------------------------------------------
@@ -274,7 +283,7 @@ def _seg(x, idx, n):
     return jax.ops.segment_sum(x, idx, num_segments=n)
 
 
-def _matvec(g: Graph, blocks, weights, t: Tangent) -> Tangent:
+def _matvec(g: Graph, blocks, weights, t: Tangent, p: LMParams) -> Tangent:
     """H t = J^T W J t, edge-wise."""
     F = t.poses.shape[0]
     M = t.motions.shape[0]
@@ -323,10 +332,10 @@ def _matvec(g: Graph, blocks, weights, t: Tangent) -> Tangent:
     u = u * weights["alt"][:, None]
     out_m += _seg(jnp.einsum("eij,ei->ej", blocks["Ja"], u), g.alt_mot, M)
 
-    return Tangent(out_p, out_m, out_x)
+    return _maybe_psum(Tangent(out_p, out_m, out_x), p)
 
 
-def _gradient(g: Graph, blocks, weights, resid, F, M, P) -> Tangent:
+def _gradient(g: Graph, blocks, weights, resid, F, M, P, p: LMParams) -> Tangent:
     """g = J^T W r."""
     gp = jnp.zeros((F, 6))
     gm = jnp.zeros((M, 6))
@@ -348,10 +357,10 @@ def _gradient(g: Graph, blocks, weights, resid, F, M, P) -> Tangent:
     gp += _seg(jnp.einsum("eij,ei->ej", blocks["Jp"], u), g.pri_idx, F)
     u = resid["alt"] * weights["alt"][:, None]
     gm += _seg(jnp.einsum("eij,ei->ej", blocks["Ja"], u), g.alt_mot, M)
-    return Tangent(gp, gm, gx)
+    return _maybe_psum(Tangent(gp, gm, gx), p)
 
 
-def _block_diag(g: Graph, blocks, weights, F, M, P):
+def _block_diag(g: Graph, blocks, weights, F, M, P, p: LMParams):
     """Undamped block-Jacobi blocks of J^T W J."""
     def outer(J, w):
         return jnp.einsum("eij,eik,e->ejk", J, J, w)
@@ -370,6 +379,8 @@ def _block_diag(g: Graph, blocks, weights, F, M, P):
     Dm += _seg(outer(blocks["Js_b"], weights["smo"]), g.smo_b, M)
     Dp += _seg(outer(blocks["Jp"], weights["pri"]), g.pri_idx, F)
     Dm += _seg(outer(blocks["Ja"], weights["alt"]), g.alt_mot, M)
+    if p.axis_name is not None:
+        Dp, Dm, Dx = jax.lax.psum((Dp, Dm, Dx), axis_name=p.axis_name)
     return Dp, Dm, Dx
 
 
@@ -441,8 +452,8 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams):
     def step(carry, _):
         v, lam, cost = carry
         resid, weights, blocks = _linearize(g, v, p)
-        grad = _gradient(g, blocks, weights, resid, F, M, P)
-        D = _block_diag(g, blocks, weights, F, M, P)
+        grad = _gradient(g, blocks, weights, resid, F, M, P, p)
+        D = _block_diag(g, blocks, weights, F, M, P, p)
         damp = _damped_diag(D, lam)
         Dp, Dm, Dx = D
         D_prec = (
@@ -452,7 +463,7 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams):
         )
 
         def mv(t):
-            ht = _matvec(g, blocks, weights, t)
+            ht = _matvec(g, blocks, weights, t, p)
             return Tangent(
                 ht.poses + damp.poses * t.poses,
                 ht.motions + damp.motions * t.motions,
@@ -585,3 +596,55 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
         step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
     )
     return v, {"cost0": cost0, "cost": cost, "history": history}
+
+
+# --------------------------------------------------------------------------
+# mesh-sharded solve: edges sharded over chips, reductions ride ICI psum
+# --------------------------------------------------------------------------
+
+def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
+                     axis: str = "ba"):
+    """Run lm_solve with edge arrays sharded over a mesh axis.
+
+    Variables are replicated; every JᵀWJ product / gradient / preconditioner
+    block is computed from the local edge shard and psum'd (the ICI-sharded
+    BA reduction of SURVEY.md §5.8).  Results are identical to the
+    single-device solve up to summation order.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    p_sh = dataclasses.replace(p, axis_name=axis)
+    edge_spec = Graph(
+        obs_pose=P(axis), obs_point=P(axis), obs_meas=P(axis), obs_w=P(axis),
+        odo_a=P(axis), odo_b=P(axis), odo_meas_inv=P(axis), odo_w=P(axis),
+        pri_idx=P(axis), pri_meas_inv=P(axis), pri_w=P(axis),
+        smo_a=P(axis), smo_b=P(axis), smo_w=P(axis),
+        ter_prev=P(axis), ter_cur=P(axis), ter_mot=P(axis), ter_w=P(axis),
+        alt_mot=P(axis), alt_w=P(axis),
+    )
+    var_spec = Variables(poses=P(), motions=P(), points=P())
+    out_spec = (var_spec, {"cost0": P(), "cost": P(), "history": P()})
+
+    def pad_to(x, n):
+        padded = jnp.zeros((n,) + x.shape[1:], x.dtype)
+        if x.dtype == jnp.float32 and x.ndim == 3:  # 4x4 measurement pads
+            padded = jnp.broadcast_to(jnp.eye(4, dtype=x.dtype),
+                                      (n,) + x.shape[1:]).copy()
+        return jax.lax.dynamic_update_slice(
+            padded, x, (0,) * x.ndim
+        )
+
+    n_dev = mesh.shape[axis]
+    g = jax.tree.map(
+        lambda x: pad_to(x, -(-x.shape[0] // n_dev) * n_dev), g
+    )
+
+    fn = shard_map(
+        functools.partial(lm_solve, p=p_sh),
+        mesh=mesh,
+        in_specs=(edge_spec, var_spec),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    return fn(g, v0)
