@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 0.875  # MEASURED: reference C++ on identical synthetic input (BASELINE.md)
-N_FRAMES = 36
+N_FRAMES = 100
 WARMUP_FRAMES = 4
 
 

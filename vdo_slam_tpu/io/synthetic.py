@@ -153,10 +153,11 @@ def make_scene(
         obj_vel.append((np.array([0.0, yaw, 0.0]),
                         np.array([rng.uniform(-0.02, 0.02), 0.0, fwd])))
 
-    # --- camera trajectory: forward motion with gentle yaw
+    # --- camera trajectory: forward motion with gentle turning (linear yaw
+    # rate plus a slow weave; bounded for arbitrarily long sequences)
     T_wc = np.zeros((num_frames, 4, 4))
     for f in range(num_frames):
-        yaw = cam_yaw_rate * f * f
+        yaw = cam_yaw_rate * f + 0.05 * np.sin(0.05 * f)
         t = np.array([0.3 * np.sin(0.08 * f), 0.0, cam_speed * f])
         T_wc[f] = _pose([0.0, yaw, 0.0], t)
 
