@@ -173,10 +173,19 @@ def retract(T: jax.Array, xi: jax.Array) -> jax.Array:
 
 
 def orthonormalize(T: jax.Array) -> jax.Array:
-    """Project the rotation block back onto SO(3) via SVD (fp32 drift control)."""
+    """Project the rotation block back onto SO(3) (fp32 drift control).
+
+    Gram-Schmidt on the rows — branch-free arithmetic only (TPU small-matrix
+    SVDs are iterative and slow).  Composing hundreds of fp32 SE(3) products
+    without this lets diag(R) drift ~1e-4 below 1, which the clamped-trace
+    rotation metric (Tracking.cc:3268-3276) misreads as ~1 degree of error.
+    """
     R = T[..., :3, :3]
-    u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.ones(T.shape[:-2] + (3,), dtype=T.dtype).at[..., 2].set(det)
-    R_fixed = (u * d[..., None, :]) @ vt
+    r0 = R[..., 0, :]
+    r0 = r0 / (jnp.linalg.norm(r0, axis=-1, keepdims=True) + 1e-12)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r1 * r0, axis=-1, keepdims=True) * r0
+    r1 = r1 / (jnp.linalg.norm(r1, axis=-1, keepdims=True) + 1e-12)
+    r2 = jnp.cross(r0, r1)
+    R_fixed = jnp.stack([r0, r1, r2], axis=-2)
     return from_Rt(R_fixed, T[..., :3, 3])

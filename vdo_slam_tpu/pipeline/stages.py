@@ -174,7 +174,8 @@ def make_camera_stage(cfg: VDOConfig):
             out = dict(out)
             out["repro_err"] = jnp.sqrt(jnp.maximum(out["chi2"], 0.0)).mean()
             uv_cur = cur_xy
-        T_cw = out["T"]
+        # fp32 drift control on the composed pose chain
+        T_cw = se3.orthonormalize(out["T"])
         vel_new = T_cw @ se3.inv(T_cw_last)
         from ..geometry import metrics
         t_rpe, r_rpe = metrics.camera_rpe(T_cw, T_cw_last, T_cw_gt_cur,
@@ -288,8 +289,10 @@ def make_objects_stage(cfg: VDOConfig):
                 cur_xy - dyn_last.xy, (G0.shape[0],) + dyn_last.xy.shape
             )
             out["repro_err"] = jnp.zeros((G0.shape[0],))
-        G = out["T"]
-        H = se3.inv(T_cw_cur)[None] @ G  # vObjMod = Twc * G (Tracking.cc:933)
+        G = se3.orthonormalize(out["T"])
+        H = se3.orthonormalize(
+            se3.inv(T_cw_cur)[None] @ G
+        )  # vObjMod = Twc * G (Tracking.cc:933)
 
         # previous-frame centroid over the full member set (Tracking.cc:157-166)
         mem_f = members.astype(jnp.float32)
