@@ -28,12 +28,16 @@ def small_config(scene, **tracking_overrides):
         ),
         tracking=dataclasses.replace(
             TrackingConfig(),
-            dataset=KITTI,
-            depth_map_factor=1.0,
-            # small test images: scale the boundary shrink down
-            boundary_shrink_row=8, boundary_shrink_col=12,
-            min_obj_points=40, min_init_inliers=20,
-            **tracking_overrides,
+            **{
+                **dict(
+                    dataset=KITTI,
+                    depth_map_factor=1.0,
+                    # small test images: scale the boundary shrink down
+                    boundary_shrink_row=8, boundary_shrink_col=12,
+                    min_obj_points=40, min_init_inliers=20,
+                ),
+                **tracking_overrides,
+            },
         ),
         shapes=ShapeConfig(max_static=600, max_dynamic=2048, max_objects=8,
                            ransac_samples=128),
@@ -158,3 +162,30 @@ class TestNonJointMode:
         reports = sysm.run_sequence(ds, max_frames=5)
         rpes = [r["t_rpe"] for r in reports if "t_rpe" in r]
         assert np.mean(rpes) < 0.05, rpes
+
+
+class TestOMDMode:
+    def test_omd_dataset_pipeline(self, scene):
+        """OMD path: ChooseData=1, grid-sampled background features, OX
+        object-pose parsing, no boundary shrink (Tracking.cc:1404 KITTI-only)."""
+        import dataclasses
+
+        from vdo_slam_tpu.config import OMD
+        from vdo_slam_tpu.io.dataset import SyntheticOMDDataset
+        from vdo_slam_tpu.pipeline import System
+
+        cfg = small_config(scene, dataset=OMD, sf_mg_thres=0.05,
+                           sf_ds_thres=0.99)
+        cfg = cfg.replace(
+            frontend=dataclasses.replace(cfg.frontend, use_sample_feature=True,
+                                         n_sample_points=1500),
+        )
+        ds = SyntheticOMDDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+        reports = sysm.run_sequence(ds, max_frames=5)
+        rpes = [r["t_rpe"] for r in reports if "t_rpe" in r]
+        assert np.mean(rpes) < 0.05, rpes
+        rep = sysm.metrics()
+        # object GT parsed through the OX path gives sane body-frame errors
+        if rep["n_obj_estimates"]:
+            assert rep["obj_t_rpe"] < 0.2, rep

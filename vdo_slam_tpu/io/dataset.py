@@ -167,3 +167,40 @@ class SyntheticDataset:
             obj_gt_rows=np.asarray(rows, dtype=np.float32).reshape(-1, 10),
             timestamp=0.1 * i if i > 0 else 1e-3,
         )
+
+
+class SyntheticOMDDataset(SyntheticDataset):
+    """SyntheticScene wrapped with OMD conventions: object GT rows in the
+    ObjPoseParsingOX encoding ([frame, label, t(3), axis-angle(3), 0, 0],
+    poses in the RAW world frame; the tracker origin-normalizes them,
+    Tracking.cc:2120-2182)."""
+
+    def __getitem__(self, i: int) -> FrameData:
+        fd = super().__getitem__(i)
+        s = self.scene
+        rows = []
+        for k, lab in enumerate(s.obj_labels):
+            L_w = s.obj_pose_gt[i, k].astype(np.float64)
+            # raw frame = first camera frame (origin_inv = T_wc[0]):
+            # ObjPoseParsingOX returns inv(origin) @ pose, so pass
+            # origin @ L_w_normalized... here GT already lives in the
+            # normalized world (frame-0 camera), so pre-compose with T_wc[0].
+            L_raw = s.T_wc_gt[0].astype(np.float64) @ L_w
+            R = L_raw[:3, :3]
+            # rotation matrix -> axis-angle
+            cos_t = np.clip((np.trace(R) - 1) / 2, -1, 1)
+            th = np.arccos(cos_t)
+            if th > 1e-8:
+                axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                                 R[1, 0] - R[0, 1]]) / (2 * np.sin(th))
+            else:
+                axis = np.zeros(3)
+            rvec = axis * th
+            rows.append([i, float(lab), L_raw[0, 3], L_raw[1, 3], L_raw[2, 3],
+                         rvec[0], rvec[1], rvec[2], 0.0, 0.0])
+        return FrameData(
+            rgb=fd.rgb, depth_raw=fd.depth_raw, flow=fd.flow, mask=fd.mask,
+            pose_gt_raw=fd.pose_gt_raw,
+            obj_gt_rows=np.asarray(rows, np.float32).reshape(-1, 10),
+            timestamp=fd.timestamp,
+        )
