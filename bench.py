@@ -6,8 +6,10 @@ scene-flow classification, per-object motion LM, renewal, windowed BA every
 reports frames/sec plus accuracy sanity numbers.
 
 Baseline: MEASURED — the reference C++ binary, built on this machine and run
-single-threaded on the IDENTICAL synthetic input sequence, does 0.875 fps
-(BASELINE.md "MEASURED baseline").  vs_baseline = measured_fps / 0.875.
+single-threaded on the IDENTICAL 100-frame synthetic sequence END-TO-END
+(tracking + windowed BA + the final FullBatchOptimization), does 0.249 fps
+(401 s; BASELINE.md).  This bench runs the same end-to-end pipeline.
+vs_baseline = measured_fps / 0.249.
 
 Prints ONE json line on stdout; diagnostics go to stderr.
 """
@@ -21,7 +23,7 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 0.875  # MEASURED: reference C++ on identical synthetic input (BASELINE.md)
+BASELINE_FPS = 0.249  # MEASURED: reference C++ end-to-end on the identical 100-frame input (BASELINE.md)
 N_FRAMES = 100
 WARMUP_FRAMES = 4
 
@@ -75,7 +77,8 @@ def main():
     )
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
 
-    # fused mode: the whole per-frame pipeline in one device call
+    # fused mode: the whole per-frame pipeline in one device call;
+    # end-to-end config includes the final full-batch refinement
     sysm = System(cfg, enable_local_ba=True, enable_global_ba=False,
                   mode="fused")
 
@@ -99,7 +102,22 @@ def main():
     n_timed = len(ds) - WARMUP_FRAMES
     t0 = time.perf_counter()
     reports = sysm.run_sequence(_Tail(ds, WARMUP_FRAMES))
-    elapsed = time.perf_counter() - t0
+    track_elapsed = time.perf_counter() - t0
+    log(f"tracking+windowed-BA: {n_timed} frames in {track_elapsed:.2f}s "
+        f"= {n_timed / track_elapsed:.2f} fps")
+
+    # end-of-run full-batch refinement (the reference's
+    # FullBatchOptimization, Tracking.cc:1190-1208)
+    t1 = time.perf_counter()
+    from vdo_slam_tpu.backend.full_ba import full_ba_inplace
+
+    ba_info = full_ba_inplace(sysm.map, cfg)
+    ba_elapsed = time.perf_counter() - t1
+    log(f"full-batch BA: {ba_elapsed:.1f}s  {ba_info}")
+    rep_rf = sysm.metrics(refined=True)
+    log(f"refined accuracy: {rep_rf}")
+
+    elapsed = track_elapsed + ba_elapsed
     fps = n_timed / elapsed
 
     rep = sysm.metrics()

@@ -438,12 +438,13 @@ def _retract_vars(v: Variables, t: Tangent) -> Variables:
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
-def lm_solve(g: Graph, v0: Variables, p: LMParams):
+def lm_solve(g: Graph, v0: Variables, p: LMParams, lam0=None):
     """Damped Gauss-Newton (LM) with PCG inner solves.
 
     Mirrors g2o OptimizationAlgorithmLevenberg + SparseOptimizerTerminate-
     Action's gain-threshold early stop (Optimizer.cc:140-142).
-    Returns (Variables, info dict).
+    Returns (Variables, info dict incl. the final damping `lam` so callers
+    can chunk long optimizations across multiple device calls).
     """
     F = v0.poses.shape[0]
     M = v0.motions.shape[0]
@@ -482,10 +483,47 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams):
         return (v, lam, cost), cost
 
     cost0 = robust_cost(g, v0, p)
-    (v, _, cost), history = jax.lax.scan(
-        step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
+    lam_init = jnp.asarray(p.lambda_init) if lam0 is None else lam0
+    (v, lam, cost), history = jax.lax.scan(
+        step, (v0, lam_init, cost0), None, length=p.iters
     )
-    return v, {"cost0": cost0, "cost": cost, "history": history}
+    return v, {"cost0": cost0, "cost": cost, "history": history, "lam": lam}
+
+
+def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
+                     chunk: int = 3, callback=None):
+    """Run p.iters LM iterations as ceil(iters/chunk) separate device
+    executions (remote-attached workers can enforce per-program time limits;
+    a 100k-point full-batch graph exceeds them in one program).  Damping
+    carries across chunks; results match lm_solve up to the per-chunk cost
+    re-evaluation."""
+    import math
+
+    p_chunk = dataclasses.replace(p, iters=chunk)
+    v = v0
+    lam = None
+    info = {}
+    total = 0
+    cost0 = None
+    for i in range(math.ceil(p.iters / chunk)):
+        v, info = lm_solve(g, v, p_chunk, lam0=lam)
+        lam = info["lam"]
+        total += chunk
+        if cost0 is None:
+            cost0 = float(info["cost0"])
+        if callback is not None:
+            callback(i, info)
+        # cross-chunk gain threshold (g2o terminate-action semantics)
+        if p.gain_eps > 0:
+            gain = (float(info["cost0"]) - float(info["cost"])) / max(
+                float(info["cost0"]), 1e-20
+            )
+            if gain < p.gain_eps:
+                break
+    info = dict(info)
+    info["cost0"] = cost0
+    info["iters_run"] = total
+    return v, info
 
 
 # --------------------------------------------------------------------------

@@ -14,7 +14,7 @@ import numpy as np
 from ..config import VDOConfig
 from ..pipeline.map_state import MapState
 from .builders import build_full_graph
-from .factor_graph import LMParams, Variables, lm_solve
+from .factor_graph import LMParams, Variables, lm_solve_chunked
 
 
 def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> dict:
@@ -26,12 +26,14 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         cg_tol=be.cg_tol,
         huber_delta=be.huber_delta,
         robust=be.robust_kernel,
+        gain_eps=be.full_gain_thres * 10,  # cross-chunk stop
     )
     v0 = Variables(
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
     )
-    v, info = lm_solve(graph, v0, p)
+    # chunked execution: long programs can exceed remote-worker time limits
+    v, info = lm_solve_chunked(graph, v0, p, chunk=3)
     poses = np.asarray(v.poses)
     motions = np.asarray(v.motions)
     points = np.asarray(v.points)
