@@ -323,3 +323,15 @@ class TestORB:
         # most keypoints match themselves with small Hamming distance
         self_match = (np.asarray(best) == np.arange(20)).mean()
         assert self_match > 0.8, (self_match, np.asarray(dist))
+
+
+class TestBirdeye:
+    def test_scene_flow_birdeye(self, tmp_path):
+        from vdo_slam_tpu.eval.visualize import draw_scene_flow_birdeye
+
+        rng = np.random.default_rng(0)
+        P = rng.uniform([-10, -2, 2], [10, 2, 25], size=(50, 3))
+        F = rng.normal(0, 0.3, size=(50, 3))
+        p = draw_scene_flow_birdeye(P, F, np.ones(50, bool),
+                                    tmp_path / "sf.png")
+        assert (tmp_path / "sf.png").stat().st_size > 5000

@@ -80,3 +80,31 @@ def draw_trajectory(m, out_path: str | Path) -> str:
     fig.savefig(out_path, dpi=100)
     plt.close(fig)
     return str(out_path)
+
+
+def draw_scene_flow_birdeye(points_w: np.ndarray, flow3d: np.ndarray,
+                            valid: np.ndarray, out_path: str | Path,
+                            x_range=(-15.0, 15.0), z_range=(0.0, 30.0)) -> str:
+    """Bird's-eye sparse scene-flow arrows (DrawSparseFlowBirdeye,
+    Tracking.cc:1851-2008): x/z positions with velocity arrows."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    v = np.asarray(valid)
+    P = np.asarray(points_w)[v]
+    F = np.asarray(flow3d)[v]
+    sel = ((P[:, 0] > x_range[0]) & (P[:, 0] < x_range[1])
+           & (P[:, 2] > z_range[0]) & (P[:, 2] < z_range[1]))
+    P, F = P[sel], F[sel]
+    ax.quiver(P[:, 0], P[:, 2], F[:, 0], F[:, 2], angles="xy",
+              scale_units="xy", scale=1.0, width=0.003, color="tab:red")
+    ax.scatter(P[:, 0], P[:, 2], s=4, c="tab:blue")
+    ax.set_xlim(*x_range)
+    ax.set_ylim(*z_range)
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("z (m)")
+    ax.set_title("Scene flow (bird's eye)")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return str(out_path)
