@@ -44,9 +44,10 @@ class GraphMeta:
 
 def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
     """Pad edge lists to bucketed sizes with zero-weight dummy edges."""
-    def pad_idx(a, n):
+    def pad_idx(a, n, keep_sorted=False):
         a = np.asarray(a, np.int32).reshape(-1)
-        out = np.zeros(n, np.int32)
+        fill = (a[-1] if (keep_sorted and a.size) else 0)
+        out = np.full(n, fill, np.int32)
         out[: a.size] = a
         return out
 
@@ -67,7 +68,7 @@ def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
 
     return Graph(
         obs_pose=pad_idx(parts["obs_pose"], E),
-        obs_point=pad_idx(parts["obs_point"], E),
+        obs_point=pad_idx(parts["obs_point"], E, keep_sorted=True),
         obs_meas=pad_f(parts["obs_meas"], E, (3,)),
         obs_w=pad_f(parts["obs_w"], E),
         odo_a=pad_idx(parts["odo_a"], Eo),
@@ -80,8 +81,8 @@ def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
         smo_a=pad_idx(parts["smo_a"], Es),
         smo_b=pad_idx(parts["smo_b"], Es),
         smo_w=pad_f(parts["smo_w"], Es),
-        ter_prev=pad_idx(parts["ter_prev"], Et),
-        ter_cur=pad_idx(parts["ter_cur"], Et),
+        ter_prev=pad_idx(parts["ter_prev"], Et, keep_sorted=True),
+        ter_cur=pad_idx(parts["ter_cur"], Et, keep_sorted=True),
         ter_mot=pad_idx(parts["ter_mot"], Et),
         ter_w=pad_f(parts["ter_w"], Et),
         alt_mot=pad_idx(parts["alt_mot"], Ea),

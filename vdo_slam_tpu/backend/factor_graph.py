@@ -279,8 +279,9 @@ def _linearize(g: Graph, v: Variables, p: LMParams):
     return resid, weights, blocks
 
 
-def _seg(x, idx, n):
-    return jax.ops.segment_sum(x, idx, num_segments=n)
+def _seg(x, idx, n, sorted_idx=False):
+    return jax.ops.segment_sum(x, idx, num_segments=n,
+                               indices_are_sorted=sorted_idx)
 
 
 def _matvec(g: Graph, blocks, weights, t: Tangent, p: LMParams) -> Tangent:
@@ -297,15 +298,18 @@ def _matvec(g: Graph, blocks, weights, t: Tangent, p: LMParams) -> Tangent:
          + jnp.einsum("eij,ej->ei", blocks["Jo_pt"], t.points[g.obs_point]))
     u = u * weights["obs"][:, None]
     out_p += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pose"], u), g.obs_pose, F)
-    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pt"], u), g.obs_point, P)
+    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pt"], u), g.obs_point, P,
+                  sorted_idx=True)
 
     # ternary edges
     u = (jnp.einsum("eij,ej->ei", blocks["Jt_prev"], t.points[g.ter_prev])
          + jnp.einsum("eij,ej->ei", blocks["Jt_cur"], t.points[g.ter_cur])
          + jnp.einsum("eij,ej->ei", blocks["Jt_mot"], t.motions[g.ter_mot]))
     u = u * weights["ter"][:, None]
-    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_prev"], u), g.ter_prev, P)
-    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_cur"], u), g.ter_cur, P)
+    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_prev"], u), g.ter_prev,
+                  P, sorted_idx=True)
+    out_x += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_cur"], u), g.ter_cur, P,
+                  sorted_idx=True)
     out_m += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_mot"], u), g.ter_mot, M)
 
     # odometry
@@ -342,10 +346,13 @@ def _gradient(g: Graph, blocks, weights, resid, F, M, P, p: LMParams) -> Tangent
     gx = jnp.zeros((P, 3))
     u = resid["obs"] * weights["obs"][:, None]
     gp += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pose"], u), g.obs_pose, F)
-    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pt"], u), g.obs_point, P)
+    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jo_pt"], u), g.obs_point, P,
+               sorted_idx=True)
     u = resid["ter"] * weights["ter"][:, None]
-    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_prev"], u), g.ter_prev, P)
-    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_cur"], u), g.ter_cur, P)
+    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_prev"], u), g.ter_prev, P,
+               sorted_idx=True)
+    gx += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_cur"], u), g.ter_cur, P,
+               sorted_idx=True)
     gm += _seg(jnp.einsum("eij,ei->ej", blocks["Jt_mot"], u), g.ter_mot, M)
     u = resid["odo"] * weights["odo"][:, None]
     gp += _seg(jnp.einsum("eij,ei->ej", blocks["Jd_a"], u), g.odo_a, F)
@@ -369,9 +376,12 @@ def _block_diag(g: Graph, blocks, weights, F, M, P, p: LMParams):
     Dm = jnp.zeros((M, 6, 6))
     Dx = jnp.zeros((P, 3, 3))
     Dp += _seg(outer(blocks["Jo_pose"], weights["obs"]), g.obs_pose, F)
-    Dx += _seg(outer(blocks["Jo_pt"], weights["obs"]), g.obs_point, P)
-    Dx += _seg(outer(blocks["Jt_prev"], weights["ter"]), g.ter_prev, P)
-    Dx += _seg(outer(blocks["Jt_cur"], weights["ter"]), g.ter_cur, P)
+    Dx += _seg(outer(blocks["Jo_pt"], weights["obs"]), g.obs_point, P,
+               sorted_idx=True)
+    Dx += _seg(outer(blocks["Jt_prev"], weights["ter"]), g.ter_prev, P,
+               sorted_idx=True)
+    Dx += _seg(outer(blocks["Jt_cur"], weights["ter"]), g.ter_cur, P,
+               sorted_idx=True)
     Dm += _seg(outer(blocks["Jt_mot"], weights["ter"]), g.ter_mot, M)
     Dp += _seg(outer(blocks["Jd_a"], weights["odo"]), g.odo_a, F)
     Dp += _seg(outer(blocks["Jd_b"], weights["odo"]), g.odo_b, F)
@@ -662,7 +672,8 @@ def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
         alt_mot=P(axis), alt_w=P(axis),
     )
     var_spec = Variables(poses=P(), motions=P(), points=P())
-    out_spec = (var_spec, {"cost0": P(), "cost": P(), "history": P()})
+    out_spec = (var_spec, {"cost0": P(), "cost": P(), "history": P(),
+                           "lam": P()})
 
     def pad_to(x, n):
         padded = jnp.zeros((n,) + x.shape[1:], x.dtype)
