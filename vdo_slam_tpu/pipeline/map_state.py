@@ -80,31 +80,68 @@ def build_tracklets(assoc: List[np.ndarray], valid: List[np.ndarray],
     object label (first feature's label) or None for static.
     """
     F = len(assoc) + 1
-    tracks: list[list[tuple[int, int]]] = []
-    obj_ids: list[int] = []
-    tid_prev = None  # track id per feature of previous frame, -1 none
+    rec_tid: list[np.ndarray] = []
+    rec_frame: list[np.ndarray] = []
+    rec_feat: list[np.ndarray] = []
+    new_tid_chunks: list[np.ndarray] = []
+    new_lab_chunks: list[np.ndarray] = []
+    tid_prev: np.ndarray | None = None
+    next_tid = 0
 
     for f in range(F - 1):
         a = np.asarray(assoc[f])
-        v = np.asarray(valid[f + 1]) if valid is not None else np.ones_like(a, bool)
-        n_cur = a.shape[0]
-        tid_cur = np.full(n_cur, -1, np.int64)
-        has_assoc = (a >= 0) & v
-        idxs = np.nonzero(has_assoc)[0]
-        for j in idxs:  # rows with association (vectorizing gains little here)
-            pa = int(a[j])
-            if f > 0 and tid_prev is not None and tid_prev[pa] >= 0:
-                t = int(tid_prev[pa])
-                tracks[t].append((f + 1, int(j)))
-                tid_cur[j] = t
-            else:
-                tracks.append([(f, pa), (f + 1, int(j))])
-                if obj_label is not None:
-                    obj_ids.append(int(np.asarray(obj_label[f + 1])[j]))
-                tid_cur[j] = len(tracks) - 1
+        v = (np.asarray(valid[f + 1]) if valid is not None
+             else np.ones_like(a, bool))
+        has = (a >= 0) & v
+        safe_a = np.where(has, a, 0)
+        if f > 0 and tid_prev is not None:
+            prev_tid = np.where(has, tid_prev[safe_a], -1)
+        else:
+            prev_tid = np.full(a.shape, -1, np.int64)
+        cont = has & (prev_tid >= 0)
+        new = has & (prev_tid < 0)
+        new_ids = next_tid + np.cumsum(new) - 1
+        tid_cur = np.where(cont, prev_tid, np.where(new, new_ids, -1))
+
+        nj = np.nonzero(new)[0]
+        if nj.size:
+            ntids = tid_cur[nj]
+            # each new track starts with its frame-f anchor then frame f+1
+            rec_tid += [ntids, ntids]
+            rec_frame += [np.full(nj.size, f), np.full(nj.size, f + 1)]
+            rec_feat += [a[nj], nj]
+            new_tid_chunks.append(ntids)
+            if obj_label is not None:
+                new_lab_chunks.append(np.asarray(obj_label[f + 1])[nj])
+        cj = np.nonzero(cont)[0]
+        if cj.size:
+            rec_tid.append(tid_cur[cj])
+            rec_frame.append(np.full(cj.size, f + 1))
+            rec_feat.append(cj)
+        next_tid += int(new.sum())
         tid_prev = tid_cur
 
-    return tracks, (obj_ids if obj_label is not None else None)
+    if not rec_tid:
+        return [], ([] if obj_label is not None else None)
+    tids = np.concatenate(rec_tid)
+    frames = np.concatenate(rec_frame)
+    feats = np.concatenate(rec_feat)
+    order = np.lexsort((frames, tids))
+    tids, frames, feats = tids[order], frames[order], feats[order]
+    # split into per-track lists
+    boundaries = np.nonzero(np.diff(tids))[0] + 1
+    fsplit = np.split(frames, boundaries)
+    jsplit = np.split(feats, boundaries)
+    tracks = [list(zip(fs.tolist(), js.tolist()))
+              for fs, js in zip(fsplit, jsplit)]
+    obj_ids = None
+    if obj_label is not None:
+        labs = np.concatenate(new_lab_chunks) if new_lab_chunks else np.zeros(0)
+        key = np.concatenate(new_tid_chunks) if new_tid_chunks else np.zeros(0)
+        obj_ids = np.zeros(next_tid, np.int64)
+        obj_ids[key.astype(int)] = labs.astype(int)
+        obj_ids = obj_ids.tolist()
+    return tracks, obj_ids
 
 
 def track_length_histogram(tracks: list, max_frames: int) -> np.ndarray:
