@@ -55,32 +55,60 @@ class System:
         n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
         reports = []
         can_stage = hasattr(self.tracker, "device_inputs")
-        staged = None
-        fd = dataset[0] if n else None
-        next_fd = [None]
+        if can_stage and n:
+            # fused path: background-thread frame decode + staged uploads +
+            # async archive = a 3-deep pipeline
+            from ..io.prefetch import ThreadedPrefetcher
+
+            class _Limit:
+                def __init__(s, b, k):
+                    s.b, s.k = b, k
+
+                def __len__(s):
+                    return s.k
+
+                def __getitem__(s, i):
+                    return s.b[i]
+
+            pf = ThreadedPrefetcher(_Limit(dataset, n))
+            it = iter(pf)
+            fd = next(it)
+            staged = self.tracker.device_inputs(fd)
+            next_fd = [None]
+            try:
+                for i in range(n):
+                    def prefetch():
+                        nxt = next(it, None)
+                        next_fd[0] = nxt
+                        if nxt is None:
+                            return None
+                        return self.tracker.device_inputs(nxt)
+
+                    rep = self.tracker.grab_frame(fd, staged,
+                                                  prefetch_cb=prefetch)
+                    staged = getattr(self.tracker, "_prefetched", None)
+                    if next_fd[0] is not None:
+                        fd = next_fd[0]
+                    if not rep.get("pipelining"):
+                        if verbose and "t_rpe" in rep:
+                            print(
+                                f"frame {rep['frame_id']}: "
+                                f"rpe t={rep['t_rpe']:.4f} "
+                                f"r={rep['r_rpe']:.4f} "
+                                f"inliers={rep['n_inlier_cam']}"
+                            )
+                        reports.append(rep)
+            finally:
+                pf.close()
+            final = self.tracker.flush()
+            if final is not None:
+                reports.append(final)
+            if self.enable_global_ba and self.map.num_frames > 2:
+                from ..backend.full_ba import full_ba_inplace
+
+                full_ba_inplace(self.map, self.cfg)
+            return reports
         for i in range(n):
-            if can_stage:
-                if staged is None:
-                    staged = self.tracker.device_inputs(fd)
-
-                def prefetch(idx=i):
-                    if idx + 1 < n:
-                        next_fd[0] = dataset[idx + 1]
-                        return self.tracker.device_inputs(next_fd[0])
-                    return None
-
-                rep = self.tracker.grab_frame(fd, staged, prefetch_cb=prefetch)
-                staged = getattr(self.tracker, "_prefetched", None)
-                if next_fd[0] is not None:
-                    fd = next_fd[0]
-                if not rep.get("pipelining"):
-                    if verbose and "t_rpe" in rep:
-                        print(
-                            f"frame {rep['frame_id']}: rpe t={rep['t_rpe']:.4f} "
-                            f"r={rep['r_rpe']:.4f} inliers={rep['n_inlier_cam']}"
-                        )
-                    reports.append(rep)
-                continue
             rep = self.track_rgbd(dataset[i])
             if verbose and "t_rpe" in rep:
                 print(

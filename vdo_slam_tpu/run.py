@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None,
                     help="save a resumable checkpoint here at the end")
     ap.add_argument("--plots", action="store_true", help="write error curves")
+    ap.add_argument("--mode", choices=["reference", "fused"],
+                    default="reference",
+                    help="reference = stage-by-stage host orchestration; "
+                         "fused = whole frame in one device call")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -63,7 +67,7 @@ def main(argv=None):
         dataset = SequenceDataset(args.sequence)
 
     sysm = System(cfg, enable_local_ba=not args.no_local_ba,
-                  enable_global_ba=not args.no_global_ba)
+                  enable_global_ba=not args.no_global_ba, mode=args.mode)
     sysm.run_sequence(dataset, max_frames=args.frames,
                       verbose=not args.quiet)
 
