@@ -199,13 +199,8 @@ def _pri_blocks(Minv, T):
     return jax.vmap(jax.jacfwd(r_fn, argnums=0))(z, Minv, T)
 
 
-_ALT_J = jnp.zeros((1, 6)).at[0, 4].set(1.0)  # t_y wrt upsilon_y... placeholder
-
-
 def _alt_blocks(g: Graph, v: Variables):
-    """d t_y(H e^d) / dd: translation row y. t(He^d) = R_H (V d_ups ...) + t_H;
-    first order: dt = R_H (d_ups + 0) + R_H [omega]x * 0 — use jacfwd for
-    exactness (tiny edge count)."""
+    """d t_y(H e^d)/dd via jacfwd (exact; altitude edges are rare)."""
     def r_fn(d, H):
         return (H @ se3.exp(d))[1, 3:4]
 

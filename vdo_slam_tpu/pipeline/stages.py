@@ -17,7 +17,6 @@ Host code (tracking.py) does only tiny-label bookkeeping between stages.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -161,7 +160,6 @@ def make_camera_stage(cfg: VDOConfig):
         else:
             # legacy non-joint path (PoseOptimizationNew semantics, with the
             # reference's synthetic depth-noise fault injection)
-            from . import stages as _self  # noqa
             from ..solvers import reproj_lm
 
             rp = reproj_lm.ReprojLMParams(iters=p.iters)

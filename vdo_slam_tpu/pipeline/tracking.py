@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KITTI, OMD, VDOConfig
-from ..geometry import se3 as se3_np  # jnp-based; used via numpy bridging
 from ..io.dataset import FrameData
 from . import stages
 from .map_state import MapState
