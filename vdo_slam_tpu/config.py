@@ -127,7 +127,7 @@ class BackendConfig:
     full_sigma2_3d_dyn: float = 80.0
     full_sigma2_alti: float = 0.1
     full_gain_thres: float = 1e-4
-    full_iters: int = 15               # g2o uses up to 300 w/ early stop;
+    full_iters: int = 9                # g2o uses up to 300 w/ early stop;
                                        # preconditioned GN converges in ~10
     prior_information: float = 1e5     # Optimizer.cc:1341 (*100000)
     huber_delta: float = 1e-4          # deltaHuberCamMot/ObjMot/3D, Optimizer.cc:1352
@@ -136,7 +136,7 @@ class BackendConfig:
     smooth_constraint: bool = True
     altitude_constraint: bool = False
     local_static_only: bool = True     # STATIC_ONLY=true in local BA (Optimizer.cc:211)
-    cg_iters: int = 40                 # matrix-free PCG budget (full BA)
+    cg_iters: int = 24                 # matrix-free PCG budget (full BA)
     cg_tol: float = 1e-6
 
 
