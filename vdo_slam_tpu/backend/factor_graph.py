@@ -398,23 +398,38 @@ def _damped_diag(D, lam, floor=1e-8):
     return Tangent(dp, dm, dx)
 
 
-def _apply_precond(D, t: Tangent) -> Tangent:
+def _invert_precond(D):
+    """Invert the damped block-Jacobi blocks ONCE (outside the CG loop) so
+    each CG iteration applies the preconditioner as a batched einsum instead
+    of re-factorizing P small LU systems (the blocks are SPD + damped)."""
     Dp, Dm, Dx = D
+    return (jnp.linalg.inv(Dp), jnp.linalg.inv(Dm), jnp.linalg.inv(Dx))
+
+
+def _apply_precond(Dinv, t: Tangent) -> Tangent:
+    Dp, Dm, Dx = Dinv
     return Tangent(
-        jnp.linalg.solve(Dp, t.poses[..., None])[..., 0],
-        jnp.linalg.solve(Dm, t.motions[..., None])[..., 0],
-        jnp.linalg.solve(Dx, t.points[..., None])[..., 0],
+        jnp.einsum("nij,nj->ni", Dp, t.poses),
+        jnp.einsum("nij,nj->ni", Dm, t.motions),
+        jnp.einsum("nij,nj->ni", Dx, t.points),
     )
 
 
-def _pcg(matvec, precond, b: Tangent, iters: int, tol: float) -> Tangent:
+def _pcg(matvec, precond, b: Tangent, iters: int, tol: float,
+         unroll: int = 4) -> Tangent:
+    # NOTE: partially UNROLLED scan — XLA:TPU runs the unrolled
+    # gather/scatter chain far faster than a length-1 scan body (layout
+    # assignment specializes across iterations; measured 25ms vs 111ms per
+    # CG iteration on the 114k-point full graph).  Full unrolling is faster
+    # still but compiles for ~80s, and this backend's persistent compile
+    # cache never hits across processes, so compile time is paid every run —
+    # unroll=4 is the measured sweet spot of compile + runtime.
     x = Tangent(jnp.zeros_like(b.poses), jnp.zeros_like(b.motions),
                 jnp.zeros_like(b.points))
     r = b
     z = precond(r)
     d = z
     rz = r.dot(z)
-    b_norm = jnp.sqrt(b.dot(b)) + 1e-30
 
     def body(carry, _):
         x, r, d, rz = carry
@@ -428,9 +443,15 @@ def _pcg(matvec, precond, b: Tangent, iters: int, tol: float) -> Tangent:
         rz_new = r.dot(z)
         beta = jnp.where(rz > 1e-30, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         d = z + d.scale(beta)
-        return (x, r, d, rz_new), jnp.sqrt(r.dot(r)) / b_norm
+        return (x, r, d, rz_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, d, rz), None, length=iters)
+    n_loop = max(iters // unroll, 1) if iters >= unroll else 1
+    eff_unroll = min(unroll, iters)
+    (x, r, d, rz), _ = jax.lax.scan(body, (x, r, d, rz), None,
+                                    length=n_loop * eff_unroll,
+                                    unroll=eff_unroll)
+    for _ in range(iters - n_loop * eff_unroll):
+        (x, r, d, rz), _ = body((x, r, d, rz), None)
     return x
 
 
@@ -462,11 +483,11 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams, lam0=None):
         D = _block_diag(g, blocks, weights, F, M, P, p)
         damp = _damped_diag(D, lam)
         Dp, Dm, Dx = D
-        D_prec = (
+        D_prec = _invert_precond((
             Dp + jax.vmap(jnp.diag)(damp.poses),
             Dm + jax.vmap(jnp.diag)(damp.motions),
             Dx + jax.vmap(jnp.diag)(damp.points),
-        )
+        ))
 
         def mv(t):
             ht = _matvec(g, blocks, weights, t, p)
@@ -506,7 +527,9 @@ def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
 
     p_chunk = dataclasses.replace(p, iters=chunk)
     v = v0
-    lam = None
+    # concrete lam0 from the start: lam0=None vs lam0=<array> trace to two
+    # DIFFERENT executables — passing an array for chunk 0 halves compiles
+    lam = jnp.asarray(p.lambda_init, jnp.float32)
     info = {}
     total = 0
     cost0 = None
