@@ -138,6 +138,20 @@ class TestLM:
             v.poses, poses_gt))
         assert np.abs(err).max() < 5e-3, np.abs(err).max()
 
+    def test_pcg_unroll_remainder_paths(self):
+        """cg_iters below / non-multiples of the _pcg unroll factor (4) must
+        exercise the scan + remainder-loop split and still converge."""
+        g, v0, poses_gt, pts_gt = self._pose_chain_problem()
+        for cg in (1, 2, 3, 6, 7):
+            p = LMParams(iters=30, cg_iters=cg, robust=False)
+            v, info = lm_solve(g, v0, p)
+            assert float(info["cost"]) < 0.5 * float(info["cost0"]), (
+                cg, float(info["cost0"]), float(info["cost"]))
+        # enough CG budget converges regardless of the remainder split
+        p = LMParams(iters=30, cg_iters=25, robust=False)  # 25 = 6*4 + 1
+        v, info = lm_solve(g, v0, p)
+        assert float(info["cost"]) < 0.05 * float(info["cost0"])
+
     def test_huber_suppresses_outlier_observations(self):
         g, v0, poses_gt, pts_gt = self._pose_chain_problem()
         # corrupt a handful of observation measurements grossly
