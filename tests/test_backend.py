@@ -282,6 +282,25 @@ class TestSchurSolver:
         assert np.abs(err).max() < 5e-3, np.abs(err).max()
         assert float(info_s["cost"]) < 0.05 * float(info_s["cost0"])
 
+    def test_schur_step_matches_exact_cg_step(self):
+        """Regression for the U Hpp^-1 U^T assembly: the einsum output
+        layout must be (F,6,G,6) before reshape(n,n).  A permuted layout
+        ('filg') still converges on easy problems because LM rejects the
+        bad steps — so compare a SINGLE near-Gauss-Newton step against the
+        matrix-free solver run to convergence, for F>1 poses."""
+        t = TestLM()
+        g, v0, poses_gt, pts_gt = t._pose_chain_problem(F=6, P=60)
+        from vdo_slam_tpu.backend.factor_graph import lm_solve_schur
+
+        p = LMParams(iters=1, cg_iters=500, cg_tol=1e-12, robust=False,
+                     lambda_init=1e-6)
+        v_cg, _ = lm_solve(g, v0, p)
+        v_s, _ = lm_solve_schur(g, v0, p)
+        derr = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            v_s.poses, v_cg.poses))
+        assert np.abs(derr).max() < 1e-4, np.abs(derr).max()
+        assert np.abs(np.asarray(v_s.points - v_cg.points)).max() < 1e-3
+
     def test_window_ba_schur_on_tracked_map(self, tracked_map):
         from vdo_slam_tpu.backend.window_ba import local_ba_inplace
         import copy

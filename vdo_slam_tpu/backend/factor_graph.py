@@ -430,19 +430,27 @@ def _pcg(matvec, precond, b: Tangent, iters: int, tol: float,
     z = precond(r)
     d = z
     rz = r.dot(z)
+    # masked early-out: iterations past ||r||_M < tol^2 * ||r0||_M become
+    # no-ops (shapes stay static; saves no TPU time but makes cg_tol live)
+    rz0 = rz
 
     def body(carry, _):
         x, r, d, rz = carry
+        active = rz > tol * tol * rz0
         Ad = matvec(d)
         dAd = d.dot(Ad)
-        ok = dAd > 1e-30
+        ok = active & (dAd > 1e-30)
         alpha = jnp.where(ok, rz / jnp.maximum(dAd, 1e-30), 0.0)
         x = x + d.scale(alpha)
         r = r - Ad.scale(alpha)
         z = precond(r)
         rz_new = r.dot(z)
-        beta = jnp.where(rz > 1e-30, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        d = z + d.scale(beta)
+        beta = jnp.where(ok & (rz > 1e-30), rz_new / jnp.maximum(rz, 1e-30),
+                         0.0)
+        d = jax.tree.map(
+            lambda zz, dd: jnp.where(active, zz + dd * beta, dd), z, d
+        )
+        rz_new = jnp.where(active, rz_new, rz)
         return (x, r, d, rz_new), None
 
     n_loop = max(iters // unroll, 1) if iters >= unroll else 1
@@ -635,7 +643,10 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
 
         # Schur: S = Hcc - U Hpp^-1 U^T ; rhs = bc - U Hpp^-1 bp
         UHi = jnp.einsum("fpij,pjk->fpik", U, Hpp_inv)       # (F,P,6,3)
-        S = Hd - jnp.einsum("fpik,gplk->filg", UHi, U).reshape(n, n)
+        # output layout MUST be (F,6,G,6) to match Hcc's (F,6,F,6)->(n,n)
+        # reshape; "filg" would transpose the last two axes and subtract
+        # U Hpp^-1 U^T with permuted columns for any F>1 window.
+        S = Hd - jnp.einsum("fpik,gplk->figl", UHi, U).reshape(n, n)
         rhs = bc.reshape(n) - jnp.einsum("fpik,pk->fi", UHi, bp).reshape(n)
 
         # equilibrated solve
