@@ -102,6 +102,11 @@ bool read_flo(const char* path, std::vector<float>* out, int* w, int* h) {
     std::fclose(fp);
     return false;
   }
+  // reject corrupt headers before sizing the allocation off them
+  if (ww <= 0 || hh <= 0 || ww > 65536 || hh > 65536) {
+    std::fclose(fp);
+    return false;
+  }
   out->resize((size_t)ww * hh * 2);
   size_t got = std::fread(out->data(), 4, out->size(), fp);
   std::fclose(fp);
@@ -171,6 +176,9 @@ struct SeqHandle {
     std::string p_sem = dir + "/semantic/" + name + ".txt";
     if (!read_png(p_rgb.c_str(), &img)) return false;
     if (!read_png(p_dep.c_str(), &dep)) return false;
+    // a smaller-than-configured image would send the copy loops below past
+    // the decoded buffers; require exact dimensions like the .flo path does
+    if (img.w != W || img.h != H || dep.w != W || dep.h != H) return false;
     const int n = H * W;
     f->rgb.resize(n);
     const float s = img.bitdepth == 16 ? 1.0f / 65535.0f : 1.0f / 255.0f;
@@ -188,8 +196,6 @@ struct SeqHandle {
       return false;
     f->mask.resize(n);
     if (!read_mask_txt(p_sem.c_str(), f->mask.data(), n)) return false;
-    f->idx = idx;
-    f->ok = true;
     return true;
   }
 
@@ -204,10 +210,22 @@ struct SeqHandle {
         request = -1;
       }
       Frame* f = &buf[idx & 1];
-      f->ok = false;
-      load(idx, f);
       {
+        // mark in-flight under the lock so the consumer's fast path can never
+        // match idx/ok against a buffer this thread is concurrently filling
         std::lock_guard<std::mutex> lk(mu);
+        f->idx = -1;
+        f->ok = false;
+      }
+      const bool loaded = load(idx, f);
+      {
+        // publish idx/ok together with ready: the consumer only reads these
+        // (and only memcpys the buffers) after observing them under mu, and
+        // the single consumer thread issues the next same-parity request only
+        // after its copies complete, so load() never races a reader
+        std::lock_guard<std::mutex> lk(mu);
+        f->idx = idx;
+        f->ok = loaded;
         ready = idx;
       }
       cv.notify_all();
@@ -278,6 +296,7 @@ int vdo_seq_get(void* handle, int idx, float* rgb, float* depth, float* flow,
   auto* h = static_cast<SeqHandle*>(handle);
   if (idx < 0 || idx >= h->n_frames) return -1;
   Frame* f = &h->buf[idx & 1];
+  bool have = false;
   {
     std::unique_lock<std::mutex> lk(h->mu);
     if (f->idx != idx || !f->ok) {
@@ -287,8 +306,9 @@ int vdo_seq_get(void* handle, int idx, float* rgb, float* depth, float* flow,
         h->cv.wait(lk, [&] { return h->ready == idx || h->stop.load(); });
       }
     }
+    have = f->ok && f->idx == idx;
   }
-  if (!f->ok || f->idx != idx) return -2;
+  if (!have) return -2;
   const size_t n = (size_t)h->H * h->W;
   std::memcpy(rgb, f->rgb.data(), n * sizeof(float));
   std::memcpy(depth, f->depth.data(), n * sizeof(float));

@@ -161,11 +161,12 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
         f_new = f + df
         new_cost = _cost(T_new, f_new, X_w, uv_last, nf, valid, K, p)
         accept = new_cost < cost
-        # stall counter: two consecutive sub-eps relative improvements stop
-        # the loop (g2o SparseOptimizerTerminateAction semantics)
+        # stall counter: two consecutive accepted sub-eps relative improvements
+        # stop the loop (g2o SparseOptimizerTerminateAction counts gain over
+        # accepted iterations; rejected steps just inflate lambda and retry)
         rel_gain = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        small = jnp.where(accept, rel_gain < p.gain_eps, stall + 1 > stall)
-        stall = jnp.where(small, stall + 1, 0)
+        small = accept & (rel_gain < p.gain_eps)
+        stall = jnp.where(small, stall + 1, jnp.where(accept, 0, stall))
         T = jnp.where(accept, T_new, T)
         f = jnp.where(accept, f_new, f)
         lam = jnp.where(accept, lam * p.lambda_down, lam * p.lambda_up)
