@@ -113,7 +113,13 @@ def main():
 
     ba_info = full_ba_inplace(sysm.map, cfg)
     ba_elapsed = time.perf_counter() - t1
-    log(f"full-batch BA: {ba_elapsed:.1f}s  {ba_info}")
+    from vdo_slam_tpu.backend.factor_graph import format_edge_stats
+
+    log(f"full-batch BA: {ba_elapsed:.1f}s  cost {ba_info['cost0']:.4e} -> "
+        f"{ba_info['cost']:.4e}  (static {ba_info['n_static']}, dyn "
+        f"{ba_info['n_dyn']}, motions {ba_info['n_motions']})")
+    log("per-edge-type chi2 before/after (Optimizer.cc:1938-2091 analog):")
+    log(format_edge_stats(ba_info["edge_stats0"], ba_info["edge_stats"]))
     rep_rf = sysm.metrics(refined=True)
     log(f"refined accuracy: {rep_rf}")
 

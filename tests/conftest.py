@@ -23,3 +23,28 @@ import jax  # noqa: E402
 # above is ignored — force the config value directly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tracked_session():
+    """ONE tracked synthetic sequence shared by every module that needs a
+    populated MapState (e2e asserts, BA builders, eval/velocity/g2o tests).
+    Consumers must deepcopy the map before mutating it.
+
+    Returns dict(sysm, reports, scene, cfg, ds).
+    """
+    from tests.test_pipeline_e2e import small_config
+    from vdo_slam_tpu.io.dataset import SyntheticDataset
+    from vdo_slam_tpu.io.synthetic import make_scene
+    from vdo_slam_tpu.pipeline import System
+
+    scene = make_scene(num_frames=8, width=320, height=240, num_objects=2,
+                       seed=3)
+    cfg = small_config(scene)
+    ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+    sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+    reports = sysm.run_sequence(ds, verbose=True)
+    return {"sysm": sysm, "reports": reports, "scene": scene, "cfg": cfg,
+            "ds": ds}

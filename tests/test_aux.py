@@ -5,19 +5,10 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def tracked(tmp_path_factory):
-    from tests.test_pipeline_e2e import small_config
-    from vdo_slam_tpu.io.dataset import SyntheticDataset
-    from vdo_slam_tpu.io.synthetic import make_scene
-    from vdo_slam_tpu.pipeline import System
-
-    scene = make_scene(num_frames=7, width=320, height=240, num_objects=2,
-                       seed=3)
-    cfg = small_config(scene)
-    ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
-    sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
-    sysm.run_sequence(ds)
-    return sysm, ds, cfg, scene
+def tracked(tracked_session):
+    # shared session run (conftest.py); these tests only read the map
+    return (tracked_session["sysm"], tracked_session["ds"],
+            tracked_session["cfg"], tracked_session["scene"])
 
 
 class TestVelocity:
@@ -45,24 +36,19 @@ class TestPlots:
 
 class TestCheckpoint:
     def test_roundtrip_resume_deterministic(self, tracked, tmp_path):
-        from tests.test_pipeline_e2e import small_config
-        from vdo_slam_tpu.io.dataset import SyntheticDataset
-        from vdo_slam_tpu.io.synthetic import make_scene
         from vdo_slam_tpu.pipeline import System
         from vdo_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-        scene = make_scene(num_frames=7, width=320, height=240, num_objects=2,
-                           seed=3)
-        cfg = small_config(scene)
-        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        # reuse the session scene/config: identical shapes -> warm compiles
+        _, ds, cfg, _ = tracked
 
-        # run A: 3 frames, checkpoint, 3 more
+        # run A: 3 frames, checkpoint, 2 more
         a = System(cfg, enable_local_ba=False, enable_global_ba=False)
         for i in range(3):
             a.track_rgbd(ds[i])
         ck = tmp_path / "ck.pkl"
         save_checkpoint(a.tracker, ck)
-        for i in range(3, 6):
+        for i in range(3, 5):
             a.track_rgbd(ds[i])
 
         # run B: resume from checkpoint, same remaining frames
@@ -70,7 +56,7 @@ class TestCheckpoint:
         load_checkpoint(b.tracker, ck)
         b.map = b.tracker.map
         assert b.tracker.frame_id == 3
-        for i in range(3, 6):
+        for i in range(3, 5):
             b.track_rgbd(ds[i])
 
         pa = np.stack(a.map.cam_pose)
@@ -98,6 +84,7 @@ class TestG2oDump:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_synthetic_cli(self, tmp_path, capsys):
         from vdo_slam_tpu.run import main
 
@@ -112,6 +99,7 @@ class TestCLI:
 
 
 class TestFusedCheckpoint:
+    @pytest.mark.slow
     def test_fused_roundtrip(self, tracked, tmp_path):
         from tests.test_pipeline_e2e import small_config
         from vdo_slam_tpu.io.dataset import SyntheticDataset

@@ -138,6 +138,25 @@ class TestLM:
             v.poses, poses_gt))
         assert np.abs(err).max() < 5e-3, np.abs(err).max()
 
+    def test_edge_type_stats_reported(self):
+        """Per-edge-type chi2/inlier breakdown (Optimizer.cc:640-970 analog):
+        active counts exclude padding, chi2 decreases across the solve."""
+        from vdo_slam_tpu.backend.factor_graph import format_edge_stats
+
+        g, v0, _, _ = self._pose_chain_problem(F=4, P=20)
+        p = LMParams(iters=15, cg_iters=60, robust=False)
+        _, info = lm_solve(g, v0, p)
+        s0, s1 = info["stats0"], info["stats"]
+        assert int(s0["obs"]["n"]) == 4 * 20
+        assert int(s0["odo"]["n"]) == 3
+        assert int(s0["pri"]["n"]) == 1
+        assert int(s0["smo"]["n"]) == 0  # padding-only types stay at zero
+        assert float(s1["obs"]["chi2"]) < float(s0["obs"]["chi2"])
+        assert int(s1["obs"]["n_inlier"]) >= int(s0["obs"]["n_inlier"])
+        table = format_edge_stats(s0, s1)
+        assert "obs" in table and "smo" not in table
+
+    @pytest.mark.slow
     def test_pcg_unroll_remainder_paths(self):
         """cg_iters below / non-multiples of the _pcg unroll factor (4) must
         exercise the scan + remainder-loop split and still converge."""
@@ -164,6 +183,7 @@ class TestLM:
             v.poses, poses_gt))
         assert np.abs(err).max() < 2e-2, np.abs(err).max()
 
+    @pytest.mark.slow
     def test_motion_vertices_recover_object_motion(self):
         """Two dynamic points moved by a GT motion H across 3 frames; motion
         vertices start at identity (as the reference initializes them)."""
@@ -209,20 +229,11 @@ class TestLM:
 
 
 @pytest.fixture(scope="module")
-def tracked_map():
-    """A tracked synthetic sequence to feed the real BA builders."""
-    from tests.test_pipeline_e2e import small_config
-    from vdo_slam_tpu.io.dataset import SyntheticDataset
-    from vdo_slam_tpu.io.synthetic import make_scene
-    from vdo_slam_tpu.pipeline import System
-
-    scene = make_scene(num_frames=8, width=320, height=240, num_objects=2,
-                       seed=3)
-    cfg = small_config(scene)
-    ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
-    sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
-    sysm.run_sequence(ds)
-    return sysm, scene, cfg
+def tracked_map(tracked_session):
+    """A tracked synthetic sequence to feed the real BA builders (the shared
+    session run from conftest.py; BA tests deepcopy the map before writing)."""
+    return (tracked_session["sysm"], tracked_session["scene"],
+            tracked_session["cfg"])
 
 
 class TestWindowBA:
@@ -282,6 +293,7 @@ class TestSchurSolver:
         assert np.abs(err).max() < 5e-3, np.abs(err).max()
         assert float(info_s["cost"]) < 0.05 * float(info_s["cost0"])
 
+    @pytest.mark.slow
     def test_schur_step_matches_exact_cg_step(self):
         """Regression for the U Hpp^-1 U^T assembly: the einsum output
         layout must be (F,6,G,6) before reshape(n,n).  A permuted layout
@@ -301,6 +313,7 @@ class TestSchurSolver:
         assert np.abs(derr).max() < 1e-4, np.abs(derr).max()
         assert np.abs(np.asarray(v_s.points - v_cg.points)).max() < 1e-3
 
+    @pytest.mark.slow
     def test_window_ba_schur_on_tracked_map(self, tracked_map):
         from vdo_slam_tpu.backend.window_ba import local_ba_inplace
         import copy
@@ -316,6 +329,7 @@ class TestSchurSolver:
 
 
 class TestShardedBA:
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self):
         import jax
         from jax.sharding import Mesh

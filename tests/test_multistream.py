@@ -66,6 +66,7 @@ class TestFusedFrameStep:
 
 
 class TestMultiStream:
+    @pytest.mark.slow
     def test_8way_sharded_step(self):
         n_dev = len(jax.devices())
         assert n_dev >= 8, "conftest should provide 8 virtual devices"

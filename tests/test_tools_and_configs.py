@@ -48,6 +48,57 @@ class TestMaskAlignTool:
         assert m[0, 1] == 1 and m[1, 2] == 1
 
 
+class TestCubeSegmentationTool:
+    """tools/cube_segmentation.py — OMD preprocessing (cube_segmentation.m)."""
+
+    def _scene(self):
+        # dark background, two saturated color cubes big enough to survive
+        # the min-size filter after erode(9)/dilate(38)
+        rgb = np.full((300, 400, 3), 20, np.uint8)
+        rgb[30:180, 40:190] = (200, 30, 30)    # red cube, 150x150
+        rgb[120:280, 230:390] = (30, 60, 210)  # blue cube, 160x160
+        return rgb
+
+    def test_segments_two_cubes(self):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from cube_segmentation import segment_cubes
+
+        labels = segment_cubes(self._scene())
+        ids = sorted(set(np.unique(labels)) - {0})
+        assert ids == [1, 2]
+        # label centers should land inside the painted cubes
+        for lo_y, hi_y, lo_x, hi_x in [(30, 180, 40, 190), (120, 280, 230, 390)]:
+            patch = labels[lo_y + 40:hi_y - 40, lo_x + 40:hi_x - 40]
+            vals = np.unique(patch)
+            assert len(vals) == 1 and vals[0] > 0
+
+    def test_min_size_filter_drops_specks(self):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from cube_segmentation import segment_cubes
+
+        rgb = np.full((300, 400, 3), 20, np.uint8)
+        rgb[10:40, 10:40] = (200, 30, 30)  # 30x30 speck << 10000 px
+        labels = segment_cubes(rgb)
+        assert (labels == 0).all()
+
+    def test_morphology_matches_definitions(self):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from cube_segmentation import dilate, erode
+
+        m = np.zeros((20, 20), bool)
+        m[5:12, 5:12] = True
+        er = erode(m, 3)
+        assert er.sum() == 5 * 5 and er[6:11, 6:11].all()
+        di = dilate(er, 3)
+        assert (di == m).all()
+
+
 class TestShippedConfigs:
     @pytest.mark.parametrize("name,fx,dataset", [
         ("kitti.yaml", 721.5377, 2),

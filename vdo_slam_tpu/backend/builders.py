@@ -40,6 +40,7 @@ class GraphMeta:
     motion_slots: list            # per motion vertex: (frame_pair_idx, obj_j)
     n_poses: int
     n_motions: int
+    n_tracks_dropped: int = 0     # tracklets over P_CAP/E_CAP (window only)
 
 
 def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
@@ -105,28 +106,43 @@ def _empty_parts():
     )}
 
 
-def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None):
+def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
+                       n_frames: int | None = None):
     """Static-only windowed graph (PartialBatchOptimization semantics:
     camera chain + prior + static points of tracklets that START inside the
-    window with length >= 3; STATIC_ONLY=true per Optimizer.cc:211)."""
+    window with length >= 3; STATIC_ONLY=true per Optimizer.cc:211).
+
+    n_frames pins the window end to a specific archive length so the build
+    can run on a background thread while the tracker keeps appending frames
+    (appends never disturb indices < n_frames)."""
     be = cfg.backend
-    N = m.num_frames
+    N = n_frames if n_frames is not None else m.num_frames
     W = min(window or cfg.tracking.window_size, N)
     start = N - W
     frames = list(range(start, N))
     pose_of = {f: i for i, f in enumerate(frames)}
 
-    tracks, _ = build_tracklets(m.stat_assoc, m.stat_valid)
+    tracks, _ = build_tracklets(m.stat_assoc[: N - 1], m.stat_valid[:N])
     sel = [t for t in tracks
            if len(t) >= be.track_len_thres and t[0][0] >= start]
     # fixed capacities so every window solve reuses ONE compiled executable:
     # prefer long tracklets (most informative) when over budget
     P_CAP = 4096
     E_CAP = 24576
+    n_candidates = len(sel)
     if len(sel) > P_CAP:
         sel = sorted(sel, key=len, reverse=True)[:P_CAP]
     while sum(len(t) for t in sel) > E_CAP:
         sel = sel[: int(len(sel) * 0.9)]
+    n_dropped = n_candidates - len(sel)
+    if n_dropped:
+        import sys
+        print(
+            f"[window-ba] capacity truncation: kept {len(sel)}/{n_candidates}"
+            f" tracklets (P_CAP={P_CAP}, E_CAP={E_CAP}) — quality on this"
+            f" window degrades with the dropped short tracklets",
+            file=sys.stderr,
+        )
 
     parts = _empty_parts()
     pts = []
@@ -173,6 +189,7 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None):
     meta = GraphMeta(
         frame_ids=frames, static_tracks=meta_tracks, n_static_points=len(pts),
         dyn_obs=[], motion_slots=[], n_poses=W, n_motions=1,
+        n_tracks_dropped=n_dropped,
     )
     return graph, variables, meta
 

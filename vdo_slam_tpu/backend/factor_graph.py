@@ -133,6 +133,51 @@ def _maybe_psum(x, p):
     return jax.lax.psum(x, axis_name=p.axis_name)
 
 
+EDGE_TYPES = ("obs", "odo", "pri", "smo", "ter", "alt")
+
+
+def edge_type_stats(g: Graph, v: Variables, p: LMParams):
+    """Per-edge-type chi2 totals and inlier counts — the solver-health
+    instrumentation the reference prints around each batch solve (chi2
+    histograms per edge type, Optimizer.cc:640-970 for the window and
+    1938-2091 for the full graph; inlier ratios at Optimizer.cc:2326 etc.).
+
+    Returns {type: {"n": active edges, "chi2": sum of information-weighted
+    chi2, "n_inlier": edges with chi2 <= huber_delta^2}} as a flat pytree of
+    scalars (jit-friendly; padding edges carry w=0 and are excluded).
+    """
+    rs = residuals(g, v)
+    ws = (g.obs_w, g.odo_w, g.pri_w, g.smo_w, g.ter_w, g.alt_w)
+    d2 = p.huber_delta * p.huber_delta
+    out = {}
+    for name, r, w in zip(EDGE_TYPES, rs, ws):
+        chi2 = w * jnp.sum(r * r, axis=-1)
+        active = w > 0
+        out[name] = {
+            "n": _maybe_psum(jnp.sum(active.astype(jnp.int32)), p),
+            "chi2": _maybe_psum(jnp.sum(jnp.where(active, chi2, 0.0)), p),
+            "n_inlier": _maybe_psum(
+                jnp.sum((active & (chi2 <= d2)).astype(jnp.int32)), p),
+        }
+    return out
+
+
+def format_edge_stats(stats0, stats1) -> str:
+    """Human-readable before/after chi2 table for solver logs."""
+    lines = []
+    for name in EDGE_TYPES:
+        s0, s1 = stats0[name], stats1[name]
+        n = int(s0["n"])
+        if n == 0:
+            continue
+        lines.append(
+            f"  {name:>4s}: n={n:<7d} chi2 {float(s0['chi2']):.4e} -> "
+            f"{float(s1['chi2']):.4e}  inliers {int(s0['n_inlier'])} -> "
+            f"{int(s1['n_inlier'])}"
+        )
+    return "\n".join(lines)
+
+
 def robust_cost(g: Graph, v: Variables, p: LMParams):
     """Total Huber-robustified cost (the LM acceptance criterion)."""
     rs = residuals(g, v)
@@ -521,7 +566,9 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams, lam0=None):
     (v, lam, cost), history = jax.lax.scan(
         step, (v0, lam_init, cost0), None, length=p.iters
     )
-    return v, {"cost0": cost0, "cost": cost, "history": history, "lam": lam}
+    return v, {"cost0": cost0, "cost": cost, "history": history, "lam": lam,
+               "stats0": edge_type_stats(g, v0, p),
+               "stats": edge_type_stats(g, v, p)}
 
 
 def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
@@ -541,12 +588,14 @@ def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
     info = {}
     total = 0
     cost0 = None
+    stats0 = None
     for i in range(math.ceil(p.iters / chunk)):
         v, info = lm_solve(g, v, p_chunk, lam0=lam)
         lam = info["lam"]
         total += chunk
         if cost0 is None:
             cost0 = float(info["cost0"])
+            stats0 = info["stats0"]
         if callback is not None:
             callback(i, info)
         # cross-chunk gain threshold (g2o terminate-action semantics)
@@ -558,6 +607,7 @@ def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
                 break
     info = dict(info)
     info["cost0"] = cost0
+    info["stats0"] = stats0
     info["iters_run"] = total
     return v, info
 
@@ -672,7 +722,9 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
     (v, _, cost), history = jax.lax.scan(
         step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
     )
-    return v, {"cost0": cost0, "cost": cost, "history": history}
+    return v, {"cost0": cost0, "cost": cost, "history": history,
+               "stats0": edge_type_stats(g, v0, p),
+               "stats": edge_type_stats(g, v, p)}
 
 
 # --------------------------------------------------------------------------
@@ -701,8 +753,11 @@ def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
         alt_mot=P(axis), alt_w=P(axis),
     )
     var_spec = Variables(poses=P(), motions=P(), points=P())
+    stat_spec = {n: {"n": P(), "chi2": P(), "n_inlier": P()}
+                 for n in EDGE_TYPES}
     out_spec = (var_spec, {"cost0": P(), "cost": P(), "history": P(),
-                           "lam": P()})
+                           "lam": P(), "stats0": stat_spec,
+                           "stats": stat_spec})
 
     def pad_to(x, n):
         padded = jnp.zeros((n,) + x.shape[1:], x.dtype)

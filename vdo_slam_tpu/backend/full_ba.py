@@ -9,6 +9,7 @@ Refined camera poses go to cam_pose_rf and motions to rigid_motion_rf
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from ..config import VDOConfig
@@ -51,10 +52,14 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
             m.stat_3d[f][j] = points[pid]
     for k, (f, j) in enumerate(meta.dyn_obs):
         m.dyn_3d[f][j] = points[meta.n_static_points + k]
+    # per-edge-type chi2 + inlier breakdown (Optimizer.cc:1938-2091 analog)
+    stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
         "cost0": float(info["cost0"]),
         "cost": float(info["cost"]),
         "n_static": meta.n_static_points,
         "n_dyn": len(meta.dyn_obs),
         "n_motions": meta.n_motions,
+        "edge_stats0": stats0,
+        "edge_stats": stats,
     }

@@ -9,6 +9,7 @@ by the tracker (Tracking.cc:1168-1183).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from ..config import VDOConfig
@@ -25,9 +26,13 @@ def _np_inv(T):
 
 
 def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
-                     iters: int | None = None, solver: str = "schur") -> dict:
+                     iters: int | None = None, solver: str = "schur",
+                     n_frames: int | None = None) -> dict:
+    """n_frames pins the window end (see build_window_graph) so this can run
+    on a background thread while tracking appends new frames; write-back
+    touches only indices < n_frames."""
     be = cfg.backend
-    graph, v0, meta = build_window_graph(m, cfg, window)
+    graph, v0, meta = build_window_graph(m, cfg, window, n_frames=n_frames)
     p = LMParams(
         iters=iters if iters is not None else min(be.local_iters, 12),
         cg_iters=be.cg_iters,
@@ -64,9 +69,14 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
         for (f, j) in t:
             if meta.frame_ids[0] <= f <= meta.frame_ids[-1]:
                 m.stat_3d[f][j] = points[pid]
+    # per-edge-type chi2 + inlier breakdown (Optimizer.cc:640-970 analog)
+    stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
         "cost0": float(info["cost0"]),
         "cost": float(info["cost"]),
         "n_points": meta.n_static_points,
         "window": len(meta.frame_ids),
+        "n_tracks_dropped": meta.n_tracks_dropped,
+        "edge_stats0": stats0,
+        "edge_stats": stats,
     }

@@ -106,9 +106,17 @@ class SolverConfig:
     info_proj: float = 0.1             # projection-edge information (2335)
     info_flow_cam: float = 0.3         # flow-prior information, camera (2440)
     info_flow_obj: float = 0.5         # flow-prior information, object (2869)
-    lm_iters: int = 30                 # g2o runs 100 (2455); we early-stop
+    lm_iters: int = 15                 # g2o runs 100 (2455) but converges in
+                                       # ~12 with RANSAC/motion-model inits —
+                                       # measured: metrics identical at 12/15/
+                                       # 20/30 on the oracle scene; each iter
+                                       # costs ~1.6 ms of the fused TPU step
     lm_lambda_init: float = 1e-5
     lm_lambda_factor: float = 10.0
+    lm_unroll: int = 2                 # fixed-length scan(unroll=k) LM: same
+                                       # speed as while_loop on TPU but keeps
+                                       # iteration count exact + vmap-friendly
+                                       # (see FlowLMParams.unroll)
     update_flow: bool = True           # refined flow overwrites keypoints (2524)
 
 

@@ -79,6 +79,26 @@ class SyntheticScene:
     K_mat: np.ndarray        # (3, 3) intrinsics
 
 
+def _distort_norm_np(x, y, dist):
+    """Forward Brown-Conrady on normalized coords (numpy, render-time)."""
+    k1, k2, p1, p2, k3 = dist
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return xd, yd
+
+
+def _undistort_norm_np(xd, yd, dist, iters: int = 10):
+    """Fixed-point inversion of _distort_norm_np (matches ops/undistort)."""
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        fx_, fy_ = _distort_norm_np(x, y, dist)
+        x = xd - (fx_ - x)
+        y = yd - (fy_ - y)
+    return x, y
+
+
 def _checker(a: np.ndarray, b: np.ndarray, freq_u: float, freq_v: float,
              phase: float) -> np.ndarray:
     """Checkerboard texture over patch coords — every cell corner is a FAST
@@ -102,8 +122,16 @@ def make_scene(
     cam_speed: float = 0.25,
     obj_speed: float = 0.5,
     cam_yaw_rate: float = 0.004,
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0),
 ) -> SyntheticScene:
-    """Build a KITTI-like forward-driving scene with moving planar objects."""
+    """Build a KITTI-like forward-driving scene with moving planar objects.
+
+    dist: Brown-Conrady coefficients (k1, k2, p1, p2, k3).  When nonzero the
+    whole sequence is rendered in DISTORTED image space: each raw pixel's ray
+    goes through the undistortion model, and flow targets are re-distorted
+    after pinhole projection — exactly what a real distorted sensor + flow
+    network would produce (the geometry a pipeline must undistort to use).
+    """
     rng = np.random.default_rng(seed)
     fx = float(width) if fx is None else fx  # ~53 deg horizontal FOV
     fy = fx if fy is None else fy
@@ -172,9 +200,15 @@ def make_scene(
             Hs[f, k] = L[f, k] @ _inv(L[f - 1, k])  # world-frame motion
 
     # --- render
+    distorted = any(d != 0.0 for d in dist)
     ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    xn = (xs - cx) / fx
+    yn = (ys - cy) / fy
+    if distorted:
+        # raw pixel grid -> undistorted normalized ray directions
+        xn, yn = _undistort_norm_np(xn, yn, dist)
     rays_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, dtype=np.float64)], axis=-1
+        [xn, yn, np.ones_like(xs, dtype=np.float64)], axis=-1
     )  # (H, W, 3) unit-z camera rays
 
     rgb = np.zeros((num_frames, height, width), np.float32)
@@ -268,8 +302,13 @@ def make_scene(
             Tcw_next = _inv(T_wc[f + 1])
             X_c2 = X_w_next @ Tcw_next[:3, :3].T + Tcw_next[:3, 3]
             with np.errstate(divide="ignore", invalid="ignore"):
-                u2 = fx * X_c2[..., 0] / X_c2[..., 2] + cx
-                v2 = fy * X_c2[..., 1] / X_c2[..., 2] + cy
+                x2n = X_c2[..., 0] / X_c2[..., 2]
+                y2n = X_c2[..., 1] / X_c2[..., 2]
+                if distorted:
+                    # flow lives in raw (distorted) pixel space
+                    x2n, y2n = _distort_norm_np(x2n, y2n, dist)
+                u2 = fx * x2n + cx
+                v2 = fy * y2n + cy
             fu = np.where(valid & (X_c2[..., 2] > 0.1), u2 - xs, 0.0)
             fv = np.where(valid & (X_c2[..., 2] > 0.1), v2 - ys, 0.0)
             # the reference treats exactly-zero flow as invalid (Frame.cc:119)

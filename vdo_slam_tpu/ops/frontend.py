@@ -94,12 +94,17 @@ def object_candidates(depth_img, flow_img, mask_img, th_depth_obj: float,
     }
 
 
-def inherit_static(last_corres, last_valid, depth_img):
+def inherit_static(last_corres, last_valid, depth_img, corres_raw=None):
     """Current static keys = last frame's correspondences; re-gather depth
-    (Tracking.cc:252-273).  Depth <= 0 or out-of-bounds -> invalid (-1)."""
+    (Tracking.cc:252-273).  Depth <= 0 or out-of-bounds -> invalid (-1).
+
+    corres_raw: raw-image-space coordinates for the map gathers when the
+    banks carry pinhole (undistorted) coordinates; defaults to last_corres.
+    """
     H, W = depth_img.shape
-    inb = cam.in_bounds(last_corres, W, H)
-    d = gather_int(depth_img, last_corres)
+    at = last_corres if corres_raw is None else corres_raw
+    inb = cam.in_bounds(at, W, H)
+    d = gather_int(depth_img, at)
     good = last_valid & inb & (d > 0)
     return {
         "xy": last_corres,
@@ -109,14 +114,18 @@ def inherit_static(last_corres, last_valid, depth_img):
 
 
 def inherit_objects(last_obj_corres, last_obj_valid, depth_img, mask_img,
-                    th_depth_obj: float):
+                    th_depth_obj: float, corres_raw=None):
     """Current object keys = last frame's object correspondences; re-gather
     depth + semantic label, with the reference's fallback (depth=0.1, label=0)
-    for bad lookups (Tracking.cc:277-300)."""
+    for bad lookups (Tracking.cc:277-300).
+
+    corres_raw: raw-image-space gather coordinates (see inherit_static).
+    """
     H, W = depth_img.shape
-    inb = cam.in_bounds(last_obj_corres, W, H)
-    d = gather_int(depth_img, last_obj_corres)
-    m = gather_int(mask_img, last_obj_corres)
+    at = last_obj_corres if corres_raw is None else corres_raw
+    inb = cam.in_bounds(at, W, H)
+    d = gather_int(depth_img, at)
+    m = gather_int(mask_img, at)
     good = inb & (d < th_depth_obj) & (d > 0)
     return {
         "xy": last_obj_corres,

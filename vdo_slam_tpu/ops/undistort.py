@@ -26,6 +26,17 @@ def distort_normalized(xy: jax.Array, dist: jax.Array) -> jax.Array:
     return jnp.stack([xd, yd], axis=-1)
 
 
+def distort_points(uv: jax.Array, K: jax.Array, dist: jax.Array) -> jax.Array:
+    """Forward Brown-Conrady distortion of PINHOLE pixel coords (..., 2):
+    the exact inverse direction of undistort_points.  Used to convert
+    pinhole-space keypoints back to raw image coordinates for gathers into
+    the (distorted-space) depth/flow/segmentation maps."""
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+    xn = jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
+    xd = distort_normalized(xn, dist)
+    return jnp.stack([xd[..., 0] * fx + cx, xd[..., 1] * fy + cy], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def undistort_points(uv: jax.Array, K: jax.Array, dist: jax.Array,
                      iters: int = 8) -> jax.Array:

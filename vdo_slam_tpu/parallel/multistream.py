@@ -48,12 +48,15 @@ def make_stream_state(cfg: VDOConfig):
     }
 
 
-def make_frame_step(cfg: VDOConfig, vmappable: bool = False):
+def make_frame_step(cfg: VDOConfig, vmappable: bool = False,
+                    packed: bool = False):
     """One fully-fused per-frame tracking step (single stream).
 
     Returns step(state, inputs, key) -> (state, metrics) where inputs is a
-    dict(rgb, depth_raw, flow, seg, T_cw_gt).  The first call per stream
-    initializes (frame-0 semantics); subsequent calls track.  Entirely
+    dict(rgb, depth_raw, flow, seg, T_cw_gt) — or, with packed=True, a dict
+    (packed (4,H,W) int16 wire buffer [io/packing.py], T_cw_gt); the unpack
+    is elementwise and fuses into the first consumers.  The first call per
+    stream initializes (frame-0 semantics); subsequent calls track.  Entirely
     jit-compatible: the frame-0 branch is a lax.cond.
 
     vmappable=True selects the jnp FAST path (the hand-tiled Pallas kernel
@@ -178,6 +181,14 @@ def make_frame_step(cfg: VDOConfig, vmappable: bool = False):
         return new_state, metrics
 
     def step(state, inputs, key):
+        if packed:
+            from ..io.packing import depth_wire_scale, unpack_frame
+
+            gray, depth_raw, flow, seg = unpack_frame(
+                inputs["packed"],
+                depth_scale=depth_wire_scale(tr.depth_map_factor))
+            inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
+                      "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}
         return jax.lax.cond(
             state["initialized"],
             lambda: track_body(state, inputs, key),

@@ -16,6 +16,7 @@ renewal.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import jax
@@ -24,9 +25,72 @@ import numpy as np
 
 from ..config import VDOConfig
 from ..io.dataset import FrameData
+from ..io.packing import pack_frame
 from ..parallel.multistream import make_frame_step, make_stream_state
 from .map_state import MapState
 from .tracking import _np_inv, obj_pose_parsing_kt, obj_pose_parsing_ox
+
+
+def _pack_outputs(state, metrics):
+    """Device-side repack of the per-frame outputs into 5 dense leaves.
+
+    The tunnel pays a per-array round-trip cost; the natural output tree has
+    17+ small arrays (~40 ms to drain, measured).  Float32 packs are exact
+    for every field (ints < 2^24)."""
+    fs = state["frame"]
+    s, d, m = fs.static, fs.dynamic, metrics
+    f32 = jnp.float32
+    stat = jnp.concatenate([
+        s.xy, s.depth[:, None], s.point_w,
+        s.valid.astype(f32)[:, None], s.assoc.astype(f32)[:, None],
+    ], axis=1)                                                  # (B, 8)
+    dyn = jnp.concatenate([
+        d.xy, d.depth[:, None], d.point_w,
+        d.valid.astype(f32)[:, None], d.assoc.astype(f32)[:, None],
+        d.obj_label.astype(f32)[:, None], d.sem_label.astype(f32)[:, None],
+    ], axis=1)                                                  # (D, 10)
+    slots = jnp.concatenate([
+        m["slot_sem"].astype(f32)[:, None],
+        m["slot_model"].astype(f32)[:, None],
+        m["slot_active"].astype(f32)[:, None],
+        m["slot_H"].reshape(-1, 16),
+        m["slot_centroid"],
+        m["slot_n_init"].astype(f32)[:, None],
+        m["slot_n_inlier"].astype(f32)[:, None],
+        m["speeds"][:, None],
+    ], axis=1)                                                  # (K, 25)
+    mats = jnp.stack([fs.T_cw, fs.velocity])                    # (2, 4, 4)
+    scal = jnp.stack([
+        m["t_rpe"], m["r_rpe"], m["n_inlier"].astype(f32),
+        m["n_objects"].astype(f32), m["used_motion_model"].astype(f32),
+    ])                                                          # (5,)
+    return {"stat": stat, "dyn": dyn, "slots": slots, "mats": mats,
+            "scal": scal}
+
+
+def _unpack_host(out):
+    """Inverse of _pack_outputs on host numpy arrays -> the archive's view."""
+    stat, dyn, slots = out["stat"], out["dyn"], out["slots"]
+    mats, scal = out["mats"], out["scal"]
+    host_stat = (stat[:, 0:2], stat[:, 2], stat[:, 3:6],
+                 stat[:, 6] > 0.5, stat[:, 7].astype(np.int32))
+    host_dyn = (dyn[:, 0:2], dyn[:, 2], dyn[:, 3:6], dyn[:, 6] > 0.5,
+                dyn[:, 7].astype(np.int32), dyn[:, 8].astype(np.int32),
+                dyn[:, 9].astype(np.int32))
+    metrics = {
+        "t_rpe": scal[0], "r_rpe": scal[1], "n_inlier": scal[2],
+        "n_objects": scal[3], "used_motion_model": scal[4],
+        "slot_sem": slots[:, 0].astype(np.int32),
+        "slot_model": slots[:, 1].astype(np.int32),
+        "slot_active": slots[:, 2] > 0.5,
+        "slot_H": slots[:, 3:19].reshape(-1, 4, 4),
+        "slot_centroid": slots[:, 19:22],
+        "slot_n_init": slots[:, 22].astype(np.int32),
+        "slot_n_inlier": slots[:, 23].astype(np.int32),
+        "speeds": slots[:, 24],
+    }
+    return {"stat": host_stat, "dyn": host_dyn, "T_cw": mats[0],
+            "velocity": mats[1], "metrics": metrics}
 
 
 class FusedTracker:
@@ -37,7 +101,13 @@ class FusedTracker:
     def __init__(self, cfg: VDOConfig, game_map: MapState | None = None):
         self.cfg = cfg
         self.map = game_map if game_map is not None else MapState()
-        self.step = jax.jit(make_frame_step(cfg))
+        raw_step = make_frame_step(cfg, packed=True)
+
+        def _step(state, inputs, key):
+            state, metrics = raw_step(state, inputs, key)
+            return state, _pack_outputs(state, metrics)
+
+        self.step = jax.jit(_step)
         self.state = make_stream_state(cfg)
         # pre-split the whole run's PRNG keys ONCE; host-resident so no
         # per-frame device round-trip for jax.random.split
@@ -49,6 +119,7 @@ class FusedTracker:
         self._last_obj_rows = np.zeros((0, 10), np.float32)
         self._last_T_wc_gt = np.eye(4, dtype=np.float32)
         self.local_ba_hook = None
+        self._ba_thread: threading.Thread | None = None
 
     def _gt_pose(self, raw):
         if self.origin_inv is None:
@@ -68,32 +139,25 @@ class FusedTracker:
         return out
 
     def device_inputs(self, fd: FrameData) -> dict:
-        """Stage a frame's tensors on device in ONE batched transfer (async)
-        — callable ahead of time so uploads overlap the previous frame's
-        compute (the double-buffered host->device pipeline, SURVEY.md §2.3)."""
+        """Stage a frame's tensors on device in ONE packed int16 transfer
+        (async) — 3.7 MB instead of 9.3 MB over 5 arrays; callable ahead of
+        time so uploads overlap the previous frame's compute (the double-
+        buffered host->device pipeline, SURVEY.md §2.3)."""
         T_cw_gt = self._gt_pose(fd.pose_gt_raw)
+        from ..io.packing import depth_wire_scale
+
         staged = jax.device_put({
-            "rgb": np.asarray(fd.rgb, np.float32),
-            "depth_raw": np.asarray(fd.depth_raw, np.float32),
-            "flow": np.asarray(fd.flow, np.float32),
-            "seg": np.asarray(fd.mask, np.int32),
+            "packed": pack_frame(
+                np.asarray(fd.rgb, np.float32),
+                np.asarray(fd.depth_raw, np.float32),
+                np.asarray(fd.flow, np.float32),
+                np.asarray(fd.mask),
+                depth_scale=depth_wire_scale(
+                    self.cfg.tracking.depth_map_factor)),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
         })
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
-
-    def _outputs_tree(self, metrics):
-        fs = self.state["frame"]
-        return {
-            "stat": (fs.static.xy, fs.static.depth, fs.static.point_w,
-                     fs.static.valid, fs.static.assoc),
-            "dyn": (fs.dynamic.xy, fs.dynamic.depth, fs.dynamic.point_w,
-                    fs.dynamic.valid, fs.dynamic.assoc,
-                    fs.dynamic.obj_label, fs.dynamic.sem_label),
-            "T_cw": fs.T_cw,
-            "velocity": fs.velocity,
-            "metrics": metrics,
-        }
 
     def _drain_pending(self):
         """Archive the previous frame's (async-copied) outputs."""
@@ -101,7 +165,7 @@ class FusedTracker:
             return None
         fd_p, T_cw_gt_p, fid_p, tree, t0_p = self._pending
         self._pending = None
-        host = jax.tree.map(np.asarray, tree)  # copies already in flight
+        host = _unpack_host(jax.tree.map(np.asarray, tree))  # copies in flight
         save_fid = self.frame_id
         self.frame_id = fid_p
         self._archive(fd_p, host, T_cw_gt_p)
@@ -116,15 +180,32 @@ class FusedTracker:
             "n_objects": int(hm["n_objects"]),
             "wall_time": time.perf_counter() - t0_p,
         }
-        # windowed BA trigger on the ARCHIVED frame (Tracking.cc:1168-1183)
+        # windowed BA trigger on the ARCHIVED frame (Tracking.cc:1168-1183).
+        # Runs on a background thread with the window end PINNED to the
+        # current archive length: tracking keeps appending (and the fused
+        # device state never reads the refined values back — the documented
+        # fused-mode deviation), so the solve only has to finish before the
+        # next trigger / flush.
         tr = self.cfg.tracking
         w, o = tr.window_size, tr.overlap_size
         if (self.local_ba_hook is not None and fid_p >= w - 1
                 and (fid_p - o + 1) % (w - o) == 0):
-            t5 = time.perf_counter()
-            self.local_ba_hook(self.map)
-            self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+            self._join_ba()
+            n_frames = self.map.num_frames
+
+            def run_ba():
+                t5 = time.perf_counter()
+                self.local_ba_hook(self.map, n_frames)
+                self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+
+            self._ba_thread = threading.Thread(target=run_ba, daemon=True)
+            self._ba_thread.start()
         return rep
+
+    def _join_ba(self):
+        if self._ba_thread is not None:
+            self._ba_thread.join()
+            self._ba_thread = None
 
     def grab_frame(self, fd: FrameData, staged: dict | None = None,
                    prefetch_cb=None) -> dict:
@@ -142,12 +223,11 @@ class FusedTracker:
         inputs = dict(staged) if staged is not None else dict(self.device_inputs(fd))
         T_cw_gt = inputs.pop("_T_cw_gt_host")
         k = self._keys[self.frame_id % self.MAX_FRAMES]  # host-resident key
-        self.state, metrics = self.step(self.state, inputs, k)
+        self.state, tree = self.step(self.state, inputs, k)
         # stage the NEXT frame while this step computes
         prefetched = prefetch_cb() if prefetch_cb is not None else None
         self._prefetched = prefetched
-        # start async copies of this frame's outputs
-        tree = self._outputs_tree(metrics)
+        # start async copies of this frame's (packed) outputs
         for leaf in jax.tree.leaves(tree):
             leaf.copy_to_host_async()
         rep_prev = self._drain_pending()
@@ -158,8 +238,11 @@ class FusedTracker:
         return rep_prev
 
     def flush(self) -> dict | None:
-        """Archive the final in-flight frame (call once after the loop)."""
-        return self._drain_pending()
+        """Archive the final in-flight frame and join any background window
+        solve (call once after the loop)."""
+        rep = self._drain_pending()
+        self._join_ba()
+        return rep
 
     def _archive(self, fd: FrameData, host: dict, T_cw_gt):
         m = self.map

@@ -35,6 +35,29 @@ def _K(cfg: VDOConfig) -> jax.Array:
     return jnp.asarray([c.fx, c.fy, c.cx, c.cy], jnp.float32)
 
 
+def _warps(cfg: VDOConfig):
+    """(to_pinhole, to_raw) pixel-coordinate warps, or None when the camera
+    has zero distortion (every shipped demo config; the reference's early-out
+    at Frame.cc:383-387).
+
+    With nonzero coefficients the feature banks live in PINHOLE (undistorted)
+    coordinates — the space where pi/unproject are exact, mirroring the
+    reference's mvKeysUn (Frame.cc:233, 381-410) — while depth/flow/mask maps
+    stay in RAW image space, so every map gather converts with the exact
+    forward model to_raw.
+    """
+    c = cfg.camera
+    coeffs = (c.k1, c.k2, c.p1, c.p2, c.k3)
+    if not any(coeffs):
+        return None
+    from ..ops import undistort as _ud
+
+    K = _K(cfg)
+    dvec = jnp.asarray(coeffs, jnp.float32)
+    return (lambda uv: _ud.undistort_points(uv, K, dvec),
+            lambda uv: _ud.distort_points(uv, K, dvec))
+
+
 def _lm_params(cfg: VDOConfig, for_objects: bool) -> FlowLMParams:
     s = cfg.solver
     return FlowLMParams(
@@ -43,6 +66,7 @@ def _lm_params(cfg: VDOConfig, for_objects: bool) -> FlowLMParams:
         rp_thres=s.rp_thres,
         iters=s.lm_iters,
         lambda_init=s.lm_lambda_init,
+        unroll=s.lm_unroll,
     )
 
 
@@ -55,6 +79,19 @@ def make_prepare(cfg: VDOConfig, use_pallas: bool | None = None):
     D = cfg.shapes.max_dynamic
     fe = cfg.frontend
     tr = cfg.tracking
+    warps = _warps(cfg)
+
+    def _to_pinhole(cand):
+        """Convert a candidate bank detected in raw image space to pinhole
+        coordinates (xy, corres, flow consistent; gathers already done)."""
+        to_pin, _ = warps
+        xy_un = to_pin(cand["xy"])
+        corres_un = to_pin(cand["corres"])
+        out = dict(cand)
+        out["xy"] = xy_un
+        out["corres"] = corres_un
+        out["flow"] = corres_un - xy_un
+        return out
 
     def prepare(rgb, depth_raw, flow, seg, key):
         gray = rgb_to_gray(rgb)
@@ -82,6 +119,10 @@ def make_prepare(cfg: VDOConfig, use_pallas: bool | None = None):
             depth, flow, seg, tr.th_depth_obj, fe.obj_sample_step, D,
             tr.max_track_points_obj, k_obj,
         )
+        if warps is not None:
+            stat = _to_pinhole(stat)
+            obj = _to_pinhole(obj)
+            xy = warps[0](xy)  # detections feed renew's pinhole-space dedupe
         return {"depth": depth, "stat_cand": stat, "obj_cand": obj,
                 "det_xy": xy, "det_valid": v, "det_score": score}
 
@@ -94,11 +135,15 @@ def make_prepare(cfg: VDOConfig, use_pallas: bool | None = None):
 
 def make_mask_prop(cfg: VDOConfig):
     L = cfg.shapes.max_sem_labels
+    warps = _warps(cfg)
 
     def mask_prop(seg_cur, seg_last, flow_last, dyn_last: DynamicBank,
                   label_table):
+        corres = dyn_last.corres
+        if warps is not None:
+            corres = warps[1](corres)  # seg maps live in raw image space
         return frontend.propagate_mask(
-            seg_cur, seg_last, flow_last, dyn_last.corres,
+            seg_cur, seg_last, flow_last, corres,
             dyn_last.sem_label, dyn_last.valid, label_table,
             min_points=cfg.tracking.mask_recover_min_points,
         )
@@ -112,11 +157,16 @@ def make_mask_prop(cfg: VDOConfig):
 
 def make_inherit(cfg: VDOConfig):
     tr = cfg.tracking
+    warps = _warps(cfg)
 
     def inherit(stat_last: StaticBank, dyn_last: DynamicBank, depth, seg):
-        s = frontend.inherit_static(stat_last.corres, stat_last.valid, depth)
+        s_raw = warps[1](stat_last.corres) if warps is not None else None
+        d_raw = warps[1](dyn_last.corres) if warps is not None else None
+        s = frontend.inherit_static(stat_last.corres, stat_last.valid, depth,
+                                    corres_raw=s_raw)
         d = frontend.inherit_objects(
-            dyn_last.corres, dyn_last.valid, depth, seg, tr.th_depth_obj
+            dyn_last.corres, dyn_last.valid, depth, seg, tr.th_depth_obj,
+            corres_raw=d_raw,
         )
         return s, d
 
@@ -324,6 +374,7 @@ def make_renew_stage(cfg: VDOConfig):
     tr = cfg.tracking
     B = cfg.shapes.max_static
     D = cfg.shapes.max_dynamic
+    warps = _warps(cfg)
 
     def renew_static(cur_xy, carry_ok, det_xy, det_valid, det_score,
                      depth_map, flow_map, seg_map, T_cw):
@@ -331,17 +382,19 @@ def make_renew_stage(cfg: VDOConfig):
         H_img, W_img = depth_map.shape
         # (1) carryover inliers re-validated on current maps
         def criteria(xy):
-            d = gather_int(depth_map, xy)
-            m = gather_int(seg_map, xy)
-            f = gather_int(flow_map, xy)
-            corres = xy + f
+            raw = xy if warps is None else warps[1](xy)
+            d = gather_int(depth_map, raw)
+            m = gather_int(seg_map, raw)
+            f = gather_int(flow_map, raw)
+            corres_raw = raw + f
+            corres = corres_raw if warps is None else warps[0](corres_raw)
             ok = (
                 (m == 0) & (d > 0) & (d <= tr.renew_depth_gate_bg)
                 & (f[..., 0] != 0) & (f[..., 1] != 0)
-                & cam.in_bounds(xy, W_img, H_img)
-                & cam.in_bounds(corres, W_img, H_img)
+                & cam.in_bounds(raw, W_img, H_img)
+                & cam.in_bounds(corres_raw, W_img, H_img)
             )
-            return ok, d, f, corres
+            return ok, d, corres - xy, corres
 
         c_ok, _, _, _ = criteria(cur_xy)
         carry = carry_ok & c_ok
@@ -382,16 +435,18 @@ def make_renew_stage(cfg: VDOConfig):
         H_img, W_img = depth_map.shape
 
         def criteria(xy):
-            d = gather_int(depth_map, xy)
-            m = gather_int(seg_map, xy)
-            f = gather_int(flow_map, xy)
-            corres = xy + f
+            raw = xy if warps is None else warps[1](xy)
+            d = gather_int(depth_map, raw)
+            m = gather_int(seg_map, raw)
+            f = gather_int(flow_map, raw)
+            corres_raw = raw + f
+            corres = corres_raw if warps is None else warps[0](corres_raw)
             ok = (
                 (m > 0) & (d > 0) & (d < tr.renew_depth_gate_obj)
-                & cam.in_bounds(xy, W_img, H_img)
-                & cam.in_bounds(corres, W_img, H_img)
+                & cam.in_bounds(raw, W_img, H_img)
+                & cam.in_bounds(corres_raw, W_img, H_img)
             )
-            return ok, d, m, f, corres
+            return ok, d, m, corres - xy, corres
 
         c_ok, c_d, c_m, _, _ = criteria(cur_xy)
         carry = carry_ok & c_ok

@@ -40,7 +40,9 @@ class System:
         if enable_local_ba:
             from ..backend.window_ba import local_ba_inplace
 
-            self.tracker.local_ba_hook = lambda m: local_ba_inplace(m, cfg)
+            self.tracker.local_ba_hook = (
+                lambda m, n_frames=None: local_ba_inplace(
+                    m, cfg, n_frames=n_frames))
 
     def track_rgbd(self, fd: FrameData) -> dict:
         """Feed one frame; returns the frame report incl. the pose estimate."""

@@ -61,6 +61,12 @@ class FlowLMParams:
     gain_eps: float = 1e-5        # early stop: relative cost decrease below
                                   # this twice in a row ends the loop (the
                                   # g2o gain-threshold terminate action)
+    unroll: int = 0               # >0: fixed-length scan(unroll=k) with
+                                  # stall masking instead of lax.while_loop —
+                                  # XLA:TPU specializes layouts/fuses across
+                                  # unrolled iterations (the PCG finding in
+                                  # DESIGN.md); converged iterations become
+                                  # masked no-ops.  0 = dynamic while_loop.
 
 
 def _proj_jacobian(Y: jax.Array, K: jax.Array) -> jax.Array:
@@ -136,6 +142,7 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
 
     def lm_step(carry):
         T, f, lam, cost, it, stall = carry
+        active = stall < 2  # no-op lanes after termination (scan mode)
         r_p, r_f, Y = _residuals(T, f, X_w, uv_last, nf, K)
         chi2_p = s_p * jnp.sum(r_p * r_p, axis=-1)
         w = _huber_weight(chi2_p, p.rp_thres) * vf           # (N,)
@@ -160,7 +167,7 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
         T_new = se3.retract(T, dxi)
         f_new = f + df
         new_cost = _cost(T_new, f_new, X_w, uv_last, nf, valid, K, p)
-        accept = new_cost < cost
+        accept = active & (new_cost < cost)
         # stall counter: two consecutive accepted sub-eps relative improvements
         # stop the loop (g2o SparseOptimizerTerminateAction counts gain over
         # accepted iterations; rejected steps just inflate lambda and retry)
@@ -169,7 +176,9 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
         stall = jnp.where(small, stall + 1, jnp.where(accept, 0, stall))
         T = jnp.where(accept, T_new, T)
         f = jnp.where(accept, f_new, f)
-        lam = jnp.where(accept, lam * p.lambda_down, lam * p.lambda_up)
+        lam = jnp.where(active,
+                        jnp.where(accept, lam * p.lambda_down,
+                                  lam * p.lambda_up), lam)
         lam = jnp.clip(lam, 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
         return (T, f, lam, cost, it + 1, stall)
@@ -179,11 +188,18 @@ def solve(T_init: jax.Array, uv_last: jax.Array, depth_last: jax.Array,
         return (it < p.iters) & (stall < 2)
 
     cost0 = _cost(T_init, nf, X_w, uv_last, nf, valid, K, p)
-    (T, f, _, _, _, _) = jax.lax.while_loop(
-        lm_cond, lm_step,
-        (T_init, nf, jnp.asarray(p.lambda_init), cost0,
-         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
-    )
+    carry0 = (T_init, nf, jnp.asarray(p.lambda_init), cost0,
+              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    if p.unroll > 0:
+        # fixed-length partially-unrolled scan: every iteration runs (masked
+        # no-ops once stalled), but XLA fuses/specializes across the unrolled
+        # body — measured faster than while_loop on TPU despite the padding
+        (T, f, _, _, _, _), _ = jax.lax.scan(
+            lambda c, _: (lm_step(c), None), carry0, None,
+            length=p.iters, unroll=min(p.unroll, p.iters),
+        )
+    else:
+        (T, f, _, _, _, _) = jax.lax.while_loop(lm_cond, lm_step, carry0)
 
     # outlier classification on unrobustified chi2 (Optimizer.cc:2484-2506)
     r_p, _, Y = _residuals(T, f, X_w, uv_last, nf, K)
