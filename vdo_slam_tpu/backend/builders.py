@@ -34,13 +34,14 @@ class GraphMeta:
     """Bookkeeping to write optimized values back into the MapState."""
 
     frame_ids: list               # graph pose idx -> map frame id
-    static_tracks: list           # per point-vertex: [(frame, feat), ...]
+    static_tracks: list           # window: per point-vertex [(frame, feat),..]
     n_static_points: int
-    dyn_obs: list                 # per dyn point-vertex: (frame, feat)
+    dyn_obs: tuple | list         # full: (frames, feats) arrays, pid implicit
     motion_slots: list            # per motion vertex: (frame_pair_idx, obj_j)
     n_poses: int
     n_motions: int
     n_tracks_dropped: int = 0     # tracklets over P_CAP/E_CAP (window only)
+    stat_obs: tuple | None = None  # full: (frames, feats, pids) arrays
 
 
 def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
@@ -199,7 +200,11 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     1232-1935): all camera poses + prior, static tracklets (len >= 3),
     identity-initialized per-frame-per-object motion vertices, a NEW dynamic
     point vertex per observation, ternary motion edges along dynamic
-    tracklets, smoothness between consecutive motions of one object."""
+    tracklets, smoothness between consecutive motions of one object.
+
+    Assembly is fully vectorized over the flat tracklet arrays (a 100-frame
+    archive has ~230k observations; the per-observation python loop this
+    replaces cost ~3 s of host time on the full-BA critical path)."""
     be = cfg.backend
     N = m.num_frames
     parts = _empty_parts()
@@ -214,36 +219,54 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     parts["pri_meas_inv"].append(_np_inv(m.cam_pose[0]))
     parts["pri_w"].append(be.prior_information)
 
-    # ---- static points
-    pts = []
-    meta_tracks = []
-    tracks, _ = build_tracklets(m.stat_assoc, m.stat_valid)
-    for t in tracks:
-        if len(t) < be.track_len_thres:
-            continue
-        pid = len(pts)
-        f0, j0 = t[0]
-        pts.append(m.stat_3d[f0][j0])
-        meta_tracks.append(t)
-        for (f, j) in t:
-            parts["obs_pose"].append(f)
-            parts["obs_point"].append(pid)
-            parts["obs_meas"].append(
-                _unproject_np(m.stat_xy[f][j], m.stat_depth[f][j], cfg)
-            )
-            parts["obs_w"].append(1.0 / be.full_sigma2_3d_sta)
-    n_static = len(pts)
+    def unproject_cols(xy, depth):
+        c = cfg.camera
+        x = (xy[:, 0] - c.cx) * depth / c.fx
+        y = (xy[:, 1] - c.cy) * depth / c.fy
+        return np.stack([x, y, depth], axis=-1).astype(np.float32)
+
+    # ---- static points (flat arrays, sorted by (track, frame))
+    (s_tid, s_frm, s_fea), _ = build_tracklets(m.stat_assoc, m.stat_valid,
+                                               flat=True)
+    counts = np.bincount(s_tid, minlength=s_tid.max() + 1 if s_tid.size else 1)
+    keep_track = counts >= be.track_len_thres
+    sel = keep_track[s_tid]
+    s_tid, s_frm, s_fea = s_tid[sel], s_frm[sel], s_fea[sel]
+    # dense renumber of kept tracks -> point ids (order preserved)
+    pid_of_track = np.cumsum(keep_track) - 1
+    s_pid = pid_of_track[s_tid].astype(np.int64)
+    n_static = int(keep_track.sum())
+
+    stat_xy = np.stack(m.stat_xy) if N else np.zeros((0, 0, 2))
+    stat_depth = np.stack(m.stat_depth)
+    stat_3d = np.stack(m.stat_3d)
+    parts["obs_pose"] = s_frm.astype(np.int32)
+    parts["obs_point"] = s_pid.astype(np.int32)
+    parts["obs_meas"] = unproject_cols(stat_xy[s_frm, s_fea],
+                                       stat_depth[s_frm, s_fea])
+    parts["obs_w"] = np.full(s_frm.size, 1.0 / be.full_sigma2_3d_sta,
+                             np.float32)
+    # track anchors: first obs of each kept track initializes its point
+    first = np.ones(s_tid.size, bool)
+    first[1:] = s_tid[1:] != s_tid[:-1]
+    anchor_f, anchor_j = s_frm[first], s_fea[first]
+    pts_static = (stat_3d[anchor_f, anchor_j] if anchor_f.size
+                  else np.zeros((0, 3), np.float32))
 
     # ---- motion vertices: one per (frame f>=1, object j>=1), init identity
     # (Optimizer.cc:1575-1582) + smoothness to the previous frame's vertex of
     # the same label (1593-1623) + optional altitude prior
-    motion_of = {}
+    L_SPACE = 1 << 16  # motion labels are small ints
+    mot_lookup = np.full((max(len(m.rigid_motion), 1), L_SPACE), -1, np.int64)
     motion_slots = []
+    motion_of = {}
     for fp in range(len(m.rigid_motion)):        # fp = frame pair (fp -> fp+1)
         labels = m.rm_label[fp]
         for j in range(1, len(labels)):
             mid = len(motion_slots)
             motion_of[(fp, labels[j])] = mid
+            if 0 <= labels[j] < L_SPACE:
+                mot_lookup[fp, labels[j]] = mid
             motion_slots.append((fp, j))
             if be.altitude_constraint:
                 parts["alt_mot"].append(mid)
@@ -259,46 +282,75 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     # ---- dynamic points: a NEW vertex per observation (never merged,
     # Optimizer.cc:1672-1746), obs edge to its frame, ternary edge to the
     # previous observation through the motion vertex
-    dtracks, dobj = build_tracklets(m.dyn_assoc, m.dyn_valid, m.dyn_obj_label)
-    dyn_obs = []
-    for t, obj_id in zip(dtracks, dobj):
-        if len(t) < be.track_len_thres or obj_id <= 0:
-            continue
-        prev_vertex = None
-        for k, (f, j) in enumerate(t):
-            if k > 0:
-                mid = motion_of.get((f - 1, obj_id))
-                if mid is None:
-                    # no motion vertex for this transition: reference skips
-                    # the observation entirely (Optimizer.cc:1786-1789)
-                    prev_vertex = None
-                    continue
-            pid = n_static + len(dyn_obs)
-            pts.append(m.dyn_3d[f][j])
-            dyn_obs.append((f, j))
-            parts["obs_pose"].append(f)
-            parts["obs_point"].append(pid)
-            parts["obs_meas"].append(
-                _unproject_np(m.dyn_xy[f][j], m.dyn_depth[f][j], cfg)
-            )
-            parts["obs_w"].append(1.0 / be.full_sigma2_3d_dyn)
-            if k > 0 and prev_vertex is not None:
-                parts["ter_prev"].append(prev_vertex)
-                parts["ter_cur"].append(pid)
-                parts["ter_mot"].append(mid)
-                parts["ter_w"].append(1.0 / be.full_sigma2_obj)
-            prev_vertex = pid
+    (d_tid, d_frm, d_fea), dobj = build_tracklets(
+        m.dyn_assoc, m.dyn_valid, m.dyn_obj_label, flat=True)
+    dcounts = np.bincount(d_tid, minlength=d_tid.max() + 1 if d_tid.size else 1)
+    track_ok = (dcounts >= be.track_len_thres) & (np.asarray(dobj) > 0) \
+        if d_tid.size else np.zeros(1, bool)
+    sel = track_ok[d_tid] if d_tid.size else np.zeros(0, bool)
+    d_tid, d_frm, d_fea = d_tid[sel], d_frm[sel], d_fea[sel]
+    d_obj = np.asarray(dobj)[d_tid] if d_tid.size else d_tid
+    is_first = np.ones(d_tid.size, bool)
+    if d_tid.size:
+        is_first[1:] = d_tid[1:] != d_tid[:-1]
+    # the motion vertex for the (f-1 -> f) transition; first obs needs none
+    safe_obj = np.clip(d_obj, 0, L_SPACE - 1)
+    mid = np.where(
+        is_first, -1,
+        mot_lookup[np.maximum(d_frm - 1, 0), safe_obj] if d_tid.size else 0,
+    )
+    # reference semantics (Optimizer.cc:1786-1789): a non-first observation
+    # with no motion vertex is skipped entirely and breaks the chain
+    kept = is_first | (mid >= 0)
+    d_frm, d_fea, mid = d_frm[kept], d_fea[kept], mid[kept]
+    is_first = is_first[kept]
+    kept_any = d_frm.size > 0
+    d_pid = n_static + np.arange(d_frm.size, dtype=np.int64)
+    # ternary edge iff this obs and the chain predecessor (= previous kept
+    # obs of the same track at the previous frame) both exist
+    prev_kept = np.zeros(d_frm.size, bool)
+    if kept_any:
+        prev_kept[1:] = ~is_first[1:] & (d_frm[1:] == d_frm[:-1] + 1)
 
+    dyn_xy = np.stack(m.dyn_xy)
+    dyn_depth = np.stack(m.dyn_depth)
+    dyn_3d = np.stack(m.dyn_3d)
+    if kept_any:
+        parts["obs_pose"] = np.concatenate(
+            [parts["obs_pose"], d_frm.astype(np.int32)])
+        parts["obs_point"] = np.concatenate(
+            [parts["obs_point"], d_pid.astype(np.int32)])
+        parts["obs_meas"] = np.concatenate([
+            parts["obs_meas"],
+            unproject_cols(dyn_xy[d_frm, d_fea], dyn_depth[d_frm, d_fea]),
+        ])
+        parts["obs_w"] = np.concatenate([
+            parts["obs_w"],
+            np.full(d_frm.size, 1.0 / be.full_sigma2_3d_dyn, np.float32),
+        ])
+        parts["ter_prev"] = (d_pid[prev_kept] - 1).astype(np.int32)
+        parts["ter_cur"] = d_pid[prev_kept].astype(np.int32)
+        parts["ter_mot"] = mid[prev_kept].astype(np.int32)
+        parts["ter_w"] = np.full(int(prev_kept.sum()),
+                                 1.0 / be.full_sigma2_obj, np.float32)
+        pts_dyn = dyn_3d[d_frm, d_fea]
+    else:
+        pts_dyn = np.zeros((0, 3), np.float32)
+
+    pts = np.concatenate([pts_static.reshape(-1, 3),
+                          pts_dyn.reshape(-1, 3)]).astype(np.float32)
     variables = Variables(
         poses=np.stack(m.cam_pose).astype(np.float32),
         motions=np.tile(np.eye(4, dtype=np.float32), (n_motions, 1, 1)),
-        points=(np.stack(pts).astype(np.float32).reshape(-1, 3)
-                if pts else np.zeros((1, 3), np.float32)),
+        points=pts if pts.size else np.zeros((1, 3), np.float32),
     )
     graph = _pad_graph(parts, N, n_motions, 4096)
     meta = GraphMeta(
-        frame_ids=list(range(N)), static_tracks=meta_tracks,
-        n_static_points=n_static, dyn_obs=dyn_obs, motion_slots=motion_slots,
-        n_poses=N, n_motions=n_motions,
+        frame_ids=list(range(N)), static_tracks=[],
+        n_static_points=n_static,
+        dyn_obs=(d_frm.astype(np.int64), d_fea.astype(np.int64)),
+        motion_slots=motion_slots, n_poses=N, n_motions=n_motions,
     )
+    meta.stat_obs = (s_frm.astype(np.int64), s_fea.astype(np.int64),
+                     s_pid.astype(np.int64))
     return graph, variables, meta

@@ -80,7 +80,9 @@ class Variables:
 class LMParams:
     iters: int = 30
     cg_iters: int = 100
-    cg_tol: float = 1e-6
+    cg_tol: float = 1e-6          # INERT in _pcg (see note there): both
+                                  # live-tol designs measured slower +
+                                  # compile-hostile on TPU; tune cg_iters
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.5
@@ -467,24 +469,27 @@ def _pcg(matvec, precond, b: Tangent, iters: int, tol: float,
     # assignment specializes across iterations; measured 25ms vs 111ms per
     # CG iteration on the 114k-point full graph).  Full unrolling is faster
     # still but compiles for ~80s, and this backend's persistent compile
-    # cache never hits across processes, so compile time is paid every run —
-    # unroll=4 is the measured sweet spot of compile + runtime.
+    # cache never hits across processes — unroll=4 is the measured sweet
+    # spot of compile + runtime.
+    #
+    # `tol` is deliberately INERT here: CG always runs the fixed iteration
+    # budget.  Both live-tol variants were built and measured on the 114k-
+    # point full graph (round 2): a per-iteration mask costs +28% runtime
+    # and a ~100s cold compile; terminating a while_loop at unroll-chunk
+    # granularity costs +55% runtime and a ~480s cold compile.  Iteration
+    # budget is the tuning knob on this hardware (LMParams.cg_iters).
     x = Tangent(jnp.zeros_like(b.poses), jnp.zeros_like(b.motions),
                 jnp.zeros_like(b.points))
     r = b
     z = precond(r)
     d = z
     rz = r.dot(z)
-    # masked early-out: iterations past ||r||_M < tol^2 * ||r0||_M become
-    # no-ops (shapes stay static; saves no TPU time but makes cg_tol live)
-    rz0 = rz
 
     def body(carry, _):
         x, r, d, rz = carry
-        active = rz > tol * tol * rz0
         Ad = matvec(d)
         dAd = d.dot(Ad)
-        ok = active & (dAd > 1e-30)
+        ok = dAd > 1e-30
         alpha = jnp.where(ok, rz / jnp.maximum(dAd, 1e-30), 0.0)
         x = x + d.scale(alpha)
         r = r - Ad.scale(alpha)
@@ -492,10 +497,7 @@ def _pcg(matvec, precond, b: Tangent, iters: int, tol: float,
         rz_new = r.dot(z)
         beta = jnp.where(ok & (rz > 1e-30), rz_new / jnp.maximum(rz, 1e-30),
                          0.0)
-        d = jax.tree.map(
-            lambda zz, dd: jnp.where(active, zz + dd * beta, dd), z, d
-        )
-        rz_new = jnp.where(active, rz_new, rz)
+        d = z + d.scale(beta)
         return (x, r, d, rz_new), None
 
     n_loop = max(iters // unroll, 1) if iters >= unroll else 1

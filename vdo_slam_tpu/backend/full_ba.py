@@ -19,8 +19,12 @@ from .factor_graph import LMParams, Variables, lm_solve_chunked
 
 
 def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> dict:
+    import time
+
     be = cfg.backend
+    t0 = time.perf_counter()
     graph, v0, meta = build_full_graph(m, cfg)
+    t_build = time.perf_counter() - t0
     p = LMParams(
         iters=iters if iters is not None else be.full_iters,
         cg_iters=be.cg_iters,
@@ -34,32 +38,47 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         points=np.asarray(v0.points),
     )
     # chunked execution: long programs can exceed remote-worker time limits
-    v, info = lm_solve_chunked(graph, v0, p, chunk=3)
+    t0 = time.perf_counter()
+    chunk_times = []
+    v, info = lm_solve_chunked(
+        graph, v0, p, chunk=3,
+        callback=lambda i, _: chunk_times.append(time.perf_counter()))
     poses = np.asarray(v.poses)
     motions = np.asarray(v.motions)
     points = np.asarray(v.points)
+    t_solve = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     for f in range(m.num_frames):
         m.cam_pose_rf[f] = poses[f].astype(np.float32)
-        if not m.stat_3d[f].flags.writeable:
-            m.stat_3d[f] = m.stat_3d[f].copy()
-        if not m.dyn_3d[f].flags.writeable:
-            m.dyn_3d[f] = m.dyn_3d[f].copy()
     for mid, (fp, j) in enumerate(meta.motion_slots):
         m.rigid_motion_rf[fp][j] = motions[mid].astype(np.float32)
-    for pid, t in enumerate(meta.static_tracks):
-        for (f, j) in t:
-            m.stat_3d[f][j] = points[pid]
-    for k, (f, j) in enumerate(meta.dyn_obs):
-        m.dyn_3d[f][j] = points[meta.n_static_points + k]
+    # vectorized point write-back over the flat observation arrays
+    s_frm, s_fea, s_pid = meta.stat_obs
+    big = np.stack(m.stat_3d)
+    big[s_frm, s_fea] = points[s_pid]
+    for f in range(m.num_frames):
+        m.stat_3d[f] = big[f]
+    d_frm, d_fea = meta.dyn_obs
+    big = np.stack(m.dyn_3d)
+    big[d_frm, d_fea] = points[meta.n_static_points:
+                               meta.n_static_points + d_frm.size]
+    for f in range(m.num_frames):
+        m.dyn_3d[f] = big[f]
+    t_wb = time.perf_counter() - t0
     # per-edge-type chi2 + inlier breakdown (Optimizer.cc:1938-2091 analog)
     stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
         "cost0": float(info["cost0"]),
         "cost": float(info["cost"]),
         "n_static": meta.n_static_points,
-        "n_dyn": len(meta.dyn_obs),
+        "n_dyn": int(meta.dyn_obs[0].size),
         "n_motions": meta.n_motions,
         "edge_stats0": stats0,
         "edge_stats": stats,
+        "iters_run": info.get("iters_run"),
+        "t_build_s": round(t_build, 2),
+        "t_solve_s": round(t_solve, 2),
+        "t_writeback_s": round(t_wb, 2),
+        "chunk_times": [round(t - chunk_times[0], 2) for t in chunk_times],
     }

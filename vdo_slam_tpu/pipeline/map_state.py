@@ -68,7 +68,8 @@ class MapState:
 
 
 def build_tracklets(assoc: List[np.ndarray], valid: List[np.ndarray],
-                    obj_label: List[np.ndarray] | None = None):
+                    obj_label: List[np.ndarray] | None = None,
+                    flat: bool = False):
     """Chain per-frame associations into tracklets.
 
     Equivalent to GetStaticTrack / GetDynamicTrackNew (Tracking.cc:2201-2421)
@@ -78,6 +79,11 @@ def build_tracklets(assoc: List[np.ndarray], valid: List[np.ndarray],
     (i.e. MapState.*_assoc[1:]).  Returns (tracklets, obj_ids):
     tracklets = list of [(frame, feat_idx), ...]; obj_ids = per-tracklet
     object label (first feature's label) or None for static.
+
+    flat=True instead returns ((tids, frames, feats), obj_ids_array): the
+    observation arrays sorted by (track, frame) — the zero-Python-loop form
+    the full-graph builder consumes (a 100-frame KITTI archive has ~230k
+    observations; per-track python lists cost seconds to build and walk).
     """
     F = len(assoc) + 1
     rec_tid: list[np.ndarray] = []
@@ -122,25 +128,30 @@ def build_tracklets(assoc: List[np.ndarray], valid: List[np.ndarray],
         tid_prev = tid_cur
 
     if not rec_tid:
+        if flat:
+            e = np.zeros(0, np.int64)
+            return (e, e, e), (e if obj_label is not None else None)
         return [], ([] if obj_label is not None else None)
     tids = np.concatenate(rec_tid)
     frames = np.concatenate(rec_frame)
     feats = np.concatenate(rec_feat)
     order = np.lexsort((frames, tids))
     tids, frames, feats = tids[order], frames[order], feats[order]
+    obj_arr = None
+    if obj_label is not None:
+        labs = np.concatenate(new_lab_chunks) if new_lab_chunks else np.zeros(0)
+        key = np.concatenate(new_tid_chunks) if new_tid_chunks else np.zeros(0)
+        obj_arr = np.zeros(next_tid, np.int64)
+        obj_arr[key.astype(int)] = labs.astype(int)
+    if flat:
+        return (tids, frames, feats), obj_arr
     # split into per-track lists
     boundaries = np.nonzero(np.diff(tids))[0] + 1
     fsplit = np.split(frames, boundaries)
     jsplit = np.split(feats, boundaries)
     tracks = [list(zip(fs.tolist(), js.tolist()))
               for fs, js in zip(fsplit, jsplit)]
-    obj_ids = None
-    if obj_label is not None:
-        labs = np.concatenate(new_lab_chunks) if new_lab_chunks else np.zeros(0)
-        key = np.concatenate(new_tid_chunks) if new_tid_chunks else np.zeros(0)
-        obj_ids = np.zeros(next_tid, np.int64)
-        obj_ids[key.astype(int)] = labs.astype(int)
-        obj_ids = obj_ids.tolist()
+    obj_ids = obj_arr.tolist() if obj_arr is not None else None
     return tracks, obj_ids
 
 
