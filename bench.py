@@ -74,6 +74,13 @@ def main():
             TrackingConfig(), dataset=KITTI, depth_map_factor=256.0,
         ),
         shapes=ShapeConfig(),
+        # fixed full-graph capacities (deterministic shapes -> the full-BA
+        # program compiles + first-executes on a background thread during
+        # tracking instead of on the end-to-end critical path)
+        backend=dataclasses.replace(
+            cfg.backend, full_obs_cap=245760, full_ter_cap=131072,
+            full_point_cap=122880, full_motion_cap=192, full_smo_cap=192,
+        ),
     )
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
 
@@ -82,11 +89,30 @@ def main():
     sysm = System(cfg, enable_local_ba=True, enable_global_ba=False,
                   mode="fused")
 
+    # compile + first-execute the full-BA program in the background while
+    # tracking runs (first execution of a fresh executable costs ~10-25 s
+    # on the remote worker)
+    import threading
+
+    from vdo_slam_tpu.backend.full_ba import warmup_full_ba
+
+    warm_t0 = time.perf_counter()
+    warm = threading.Thread(target=warmup_full_ba, args=(cfg, N_FRAMES),
+                            daemon=True)
+    warm.start()
+
     # ---- warmup (compilation)
     t0 = time.perf_counter()
     sysm.run_sequence(ds, max_frames=WARMUP_FRAMES)
     log(f"warmup {WARMUP_FRAMES} frames (incl. compile): "
         f"{time.perf_counter() - t0:.1f}s")
+
+    # the full-BA warmup shares the device; let it finish before timing so
+    # its dummy executions don't steal tracking throughput
+    t0 = time.perf_counter()
+    warm.join()
+    log(f"full-BA warmup: total {time.perf_counter() - warm_t0:.1f}s "
+        f"({time.perf_counter() - t0:.1f}s past tracking warmup)")
 
     # ---- timed run (staged-input pipeline)
     class _Tail:
@@ -115,7 +141,9 @@ def main():
     ba_elapsed = time.perf_counter() - t1
     from vdo_slam_tpu.backend.factor_graph import format_edge_stats
 
-    log(f"full-batch BA: {ba_elapsed:.1f}s  cost {ba_info['cost0']:.4e} -> "
+    log(f"full-batch BA: {ba_elapsed:.1f}s  (build {ba_info['t_build_s']}s "
+        f"solve {ba_info['t_solve_s']}s wb {ba_info['t_writeback_s']}s, "
+        f"{ba_info['iters_run']} LM iters)  cost {ba_info['cost0']:.4e} -> "
         f"{ba_info['cost']:.4e}  (static {ba_info['n_static']}, dyn "
         f"{ba_info['n_dyn']}, motions {ba_info['n_motions']})")
     log("per-edge-type chi2 before/after (Optimizer.cc:1938-2091 analog):")

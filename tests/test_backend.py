@@ -279,6 +279,44 @@ class TestFullBA:
         assert rep["cam_t_rpe"] < rep0["cam_t_rpe"] * 2 + 5e-3
         assert rep["obj_t_rpe"] < rep0["obj_t_rpe"] * 2 + 0.05
 
+    def test_capped_shapes_match_warmup_and_solve(self, tracked_map):
+        """With full_* caps set, build_full_graph must produce exactly the
+        shapes empty_full_graph predicts (so the background-warmed
+        executable is reused), and the solve must reach the bucket-mode
+        cost (padding is zero-weight)."""
+        import copy
+        import dataclasses as dc
+
+        import jax
+
+        from vdo_slam_tpu.backend.builders import (build_full_graph,
+                                                   empty_full_graph)
+        from vdo_slam_tpu.backend.full_ba import full_ba_inplace
+
+        sysm, scene, cfg = tracked_map
+        m = copy.deepcopy(sysm.map)
+        cfg_cap = cfg.replace(backend=dc.replace(
+            cfg.backend, full_obs_cap=16384, full_ter_cap=8192,
+            full_point_cap=16384, full_motion_cap=64, full_smo_cap=64,
+        ))
+        g_real, v_real, _ = build_full_graph(m, cfg_cap)
+        g_dummy, v_dummy = empty_full_graph(cfg_cap, m.num_frames)
+        real_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
+                               g_real)
+        dummy_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
+                                g_dummy)
+        assert real_sd == dummy_sd
+        assert np.shape(v_real.poses) == np.shape(v_dummy.poses)
+        assert np.shape(v_real.motions) == np.shape(v_dummy.motions)
+        assert np.shape(v_real.points) == np.shape(v_dummy.points)
+
+        m2 = copy.deepcopy(sysm.map)
+        info_cap = full_ba_inplace(m2, cfg_cap, iters=6)
+        m3 = copy.deepcopy(sysm.map)
+        info_bkt = full_ba_inplace(m3, cfg, iters=6)
+        assert info_cap["cost0"] == pytest.approx(info_bkt["cost0"], rel=1e-5)
+        assert info_cap["cost"] == pytest.approx(info_bkt["cost"], rel=1e-3)
+
 
 class TestSchurSolver:
     def test_schur_matches_pcg_on_pose_chain(self):

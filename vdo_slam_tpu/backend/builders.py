@@ -10,6 +10,7 @@ window solves reuse the same compiled executable.
 from __future__ import annotations
 
 import dataclasses
+import sys
 
 import numpy as np
 
@@ -44,8 +45,13 @@ class GraphMeta:
     stat_obs: tuple | None = None  # full: (frames, feats, pids) arrays
 
 
-def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
-    """Pad edge lists to bucketed sizes with zero-weight dummy edges."""
+def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int,
+               sizes: dict | None = None) -> Graph:
+    """Pad edge lists to bucketed sizes with zero-weight dummy edges.
+
+    `sizes` overrides the bucket-derived count for individual edge types
+    ({"E": obs, "Et": ternary, "Es": smoothness}) — used by the full graph
+    when fixed capacities are configured so shapes are deterministic."""
     def pad_idx(a, n, keep_sorted=False):
         a = np.asarray(a, np.int32).reshape(-1)
         fill = (a[-1] if (keep_sorted and a.size) else 0)
@@ -61,11 +67,12 @@ def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
         out[: a.shape[0]] = a
         return out
 
-    E = _bucket(len(parts["obs_pose"]), bucket)
+    sizes = sizes or {}
+    E = sizes.get("E") or _bucket(len(parts["obs_pose"]), bucket)
     Eo = _bucket(len(parts["odo_a"]), 64)
     Ep = max(len(parts["pri_idx"]), 1)
-    Es = _bucket(len(parts["smo_a"]), 64)
-    Et = _bucket(len(parts["ter_prev"]), bucket)
+    Es = sizes.get("Es") or _bucket(len(parts["smo_a"]), 64)
+    Et = sizes.get("Et") or _bucket(len(parts["ter_prev"]), bucket)
     Ea = max(len(parts["alt_mot"]), 1)
 
     return Graph(
@@ -90,6 +97,21 @@ def _pad_graph(parts: dict, n_pose: int, n_mot: int, bucket: int) -> Graph:
         alt_mot=pad_idx(parts["alt_mot"], Ea),
         alt_w=pad_f(parts["alt_w"], Ea),
     )
+
+
+def _apply_cap(cap: int | None, n: int, name: str) -> int | None:
+    """Fixed capacity if configured and sufficient, else None (bucket mode).
+
+    A None return on an overfull cap also voids shape determinism for this
+    solve — the warmup executable compiled at cap shapes won't be reused —
+    but correctness is preserved via the bucket fallback."""
+    if cap is None:
+        return None
+    if n > cap:
+        print(f"[full-graph] {name}: {n} exceeds configured cap {cap}; "
+              f"falling back to bucket-rounded shapes", file=sys.stderr)
+        return None
+    return cap
 
 
 def _np_inv(T):
@@ -339,12 +361,25 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
 
     pts = np.concatenate([pts_static.reshape(-1, 3),
                           pts_dyn.reshape(-1, 3)]).astype(np.float32)
+    if not pts.size:
+        pts = np.zeros((1, 3), np.float32)
+    P_pad = _apply_cap(be.full_point_cap, pts.shape[0], "points") \
+        or pts.shape[0]
+    M_pad = _apply_cap(be.full_motion_cap, n_motions, "motions") \
+        or n_motions
+    pts = np.concatenate(
+        [pts, np.zeros((P_pad - pts.shape[0], 3), np.float32)])
     variables = Variables(
         poses=np.stack(m.cam_pose).astype(np.float32),
-        motions=np.tile(np.eye(4, dtype=np.float32), (n_motions, 1, 1)),
-        points=pts if pts.size else np.zeros((1, 3), np.float32),
+        motions=np.tile(np.eye(4, dtype=np.float32), (M_pad, 1, 1)),
+        points=pts,
     )
-    graph = _pad_graph(parts, N, n_motions, 4096)
+    sizes = {
+        "E": _apply_cap(be.full_obs_cap, len(parts["obs_pose"]), "obs"),
+        "Et": _apply_cap(be.full_ter_cap, len(parts["ter_prev"]), "ternary"),
+        "Es": _apply_cap(be.full_smo_cap, len(parts["smo_a"]), "smooth"),
+    }
+    graph = _pad_graph(parts, N, M_pad, 4096, sizes=sizes)
     meta = GraphMeta(
         frame_ids=list(range(N)), static_tracks=[],
         n_static_points=n_static,
@@ -354,3 +389,38 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     meta.stat_obs = (s_frm.astype(np.int64), s_fea.astype(np.int64),
                      s_pid.astype(np.int64))
     return graph, variables, meta
+
+
+def empty_full_graph(cfg: VDOConfig, n_frames: int):
+    """A zero-weight full graph with EXACTLY the shapes build_full_graph
+    produces for an n_frames archive when the full_* caps are configured.
+
+    Used to compile + first-execute the full-BA program in the background
+    while tracking is still running (full_ba.warmup_full_ba): the remote
+    worker charges ~10-25 s to the first execution of a fresh executable,
+    which would otherwise land on the end-to-end critical path."""
+    be = cfg.backend
+    for cap in (be.full_obs_cap, be.full_ter_cap, be.full_point_cap,
+                be.full_motion_cap, be.full_smo_cap):
+        if cap is None:
+            raise ValueError("empty_full_graph requires all full_* caps set "
+                             "(shapes are data-dependent otherwise)")
+    parts = _empty_parts()
+    for f in range(1, n_frames):
+        parts["odo_a"].append(f - 1)
+        parts["odo_b"].append(f)
+        parts["odo_meas_inv"].append(np.eye(4, dtype=np.float32))
+        parts["odo_w"].append(1.0 / be.full_sigma2_cam)
+    parts["pri_idx"].append(0)
+    parts["pri_meas_inv"].append(np.eye(4, dtype=np.float32))
+    parts["pri_w"].append(be.prior_information)
+    sizes = {"E": be.full_obs_cap, "Et": be.full_ter_cap,
+             "Es": be.full_smo_cap}
+    graph = _pad_graph(parts, n_frames, be.full_motion_cap, 4096, sizes=sizes)
+    variables = Variables(
+        poses=np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1)),
+        motions=np.tile(np.eye(4, dtype=np.float32),
+                        (be.full_motion_cap, 1, 1)),
+        points=np.zeros((be.full_point_cap, 3), np.float32),
+    )
+    return graph, variables

@@ -9,23 +9,27 @@ Refined camera poses go to cam_pose_rf and motions to rigid_motion_rf
 
 from __future__ import annotations
 
+import dataclasses
+import time
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import VDOConfig
 from ..pipeline.map_state import MapState
-from .builders import build_full_graph
-from .factor_graph import LMParams, Variables, lm_solve_chunked
+from .builders import build_full_graph, empty_full_graph
+from .factor_graph import LMParams, Variables, lm_solve, lm_solve_chunked
+
+# LM iterations per device call: the remote worker kills single programs
+# that run longer than ~60-90 s, and a 100k-point full graph exceeds that
+# in one unchunked program.
+FULL_BA_CHUNK = 3
 
 
-def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> dict:
-    import time
-
+def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
     be = cfg.backend
-    t0 = time.perf_counter()
-    graph, v0, meta = build_full_graph(m, cfg)
-    t_build = time.perf_counter() - t0
-    p = LMParams(
+    return LMParams(
         iters=iters if iters is not None else be.full_iters,
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
@@ -33,15 +37,41 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         robust=be.robust_kernel,
         gain_eps=be.full_gain_thres * 10,  # cross-chunk stop
     )
+
+
+def warmup_full_ba(cfg: VDOConfig, n_frames: int) -> None:
+    """Compile AND first-execute the full-BA program on a zero-weight graph
+    with the exact shapes full_ba_inplace will use for an n_frames archive.
+
+    Requires the backend full_* caps to be set (deterministic shapes).  Run
+    this on a background thread while tracking is still in flight: the first
+    execution of a fresh executable costs ~10-25 s on the remote worker, and
+    afterwards the real solve runs warm (~1.5 s per chunk).  Raises
+    ValueError if the caps are unset."""
+    g, v = empty_full_graph(cfg, n_frames)
+    p = dataclasses.replace(_lm_params(cfg), iters=FULL_BA_CHUNK)
+    lam = jnp.asarray(p.lambda_init, jnp.float32)
+    _, info = lm_solve(g, v, p, lam0=lam)
+    float(jax.device_get(info["cost"]))  # block until loaded + executed
+
+
+def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> dict:
+    t0 = time.perf_counter()
+    graph, v0, meta = build_full_graph(m, cfg)
+    p = _lm_params(cfg, iters)
     v0 = Variables(
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
     )
+    # one upload for all chunks (numpy args re-transfer per call otherwise)
+    graph = jax.device_put(graph)
+    v0 = jax.device_put(v0)
+    t_build = time.perf_counter() - t0
     # chunked execution: long programs can exceed remote-worker time limits
     t0 = time.perf_counter()
     chunk_times = []
     v, info = lm_solve_chunked(
-        graph, v0, p, chunk=3,
+        graph, v0, p, chunk=FULL_BA_CHUNK,
         callback=lambda i, _: chunk_times.append(time.perf_counter()))
     poses = np.asarray(v.poses)
     motions = np.asarray(v.motions)

@@ -146,6 +146,17 @@ class BackendConfig:
     local_static_only: bool = True     # STATIC_ONLY=true in local BA (Optimizer.cc:211)
     cg_iters: int = 24                 # matrix-free PCG budget (full BA)
     cg_tol: float = 1e-6
+    # Optional fixed capacities for the FULL graph (obs edges, ternary edges,
+    # point vertices, motion vertices, smoothness edges).  When set, graph
+    # shapes are deterministic given the frame count, so the full-BA
+    # executable can be compiled/loaded in the background while tracking is
+    # still running (warmup_full_ba) — the first execution of a fresh program
+    # on the remote worker costs ~10-25 s.  None = bucket-rounded shapes.
+    full_obs_cap: int | None = None
+    full_ter_cap: int | None = None
+    full_point_cap: int | None = None
+    full_motion_cap: int | None = None
+    full_smo_cap: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
