@@ -275,3 +275,54 @@ class TestDistortedCamera:
         tracks measurably worse — the warp path does real work."""
         assert rep_configured["cam_t_rpe"] < 0.4 * rep_unconfigured["cam_t_rpe"], (
             rep_configured, rep_unconfigured)
+
+
+class TestOnDiskSequence:
+    """End-to-end over a REAL on-disk reference-layout sequence: synthetic
+    scene -> write_reference_sequence -> SequenceDataset -> System, asserting
+    the png/flo/semantic/pose parsers feed the live pipeline correctly
+    (vs. example/vdo_slam.cc:150-450).  Shares the tracked_session scene so
+    the fused step's executable is already compiled."""
+
+    DMF = 512.0  # raw uint16 depth = DMF*bf/z in [~400, 4100] for z in [5,50]
+
+    @pytest.fixture(scope="class")
+    def disk_run(self, tracked_session, tmp_path_factory):
+        from vdo_slam_tpu.io.dataset import SequenceDataset
+        from vdo_slam_tpu.io.sequence_writer import write_reference_sequence
+
+        from vdo_slam_tpu.pipeline import System
+
+        scene = tracked_session["scene"]
+        root = tmp_path_factory.mktemp("ref_seq")
+        write_reference_sequence(scene, root, depth_map_factor=self.DMF,
+                                 bf=40.0)
+        ds = SequenceDataset(root)
+        cfg = small_config(scene, depth_map_factor=self.DMF)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False)
+        sysm.run_sequence(ds)
+        return sysm, ds, root
+
+    def test_disk_pipeline_matches_in_memory(self, disk_run, tracked_session):
+        sysm, _, _ = disk_run
+        rep = sysm.metrics()
+        ref = tracked_session["sysm"].metrics()
+        # 8-bit image + uint16 depth quantization: same accuracy class
+        assert rep["cam_t_rpe"] < max(2.5 * ref["cam_t_rpe"], 0.03), (rep, ref)
+        assert rep["cam_r_rpe_deg"] < max(2.5 * ref["cam_r_rpe_deg"], 0.5)
+        assert rep["n_obj_estimates"] >= ref["n_obj_estimates"] // 2
+
+    def test_native_reader_agrees_with_python_reader(self, disk_run):
+        from vdo_slam_tpu.io.dataset import SequenceDataset
+        from vdo_slam_tpu.io.native_loader import (NativeSequenceDataset,
+                                                   build_native_loader)
+
+        _, ds, root = disk_run
+        if build_native_loader() is None:
+            pytest.skip("native toolchain unavailable")
+        nat = NativeSequenceDataset(root)
+        fd_py, fd_nat = ds[1], nat[1]
+        np.testing.assert_allclose(fd_nat.rgb, fd_py.rgb, atol=1e-5)
+        np.testing.assert_allclose(fd_nat.depth_raw, fd_py.depth_raw, atol=0)
+        np.testing.assert_allclose(fd_nat.flow, fd_py.flow, atol=0)
+        np.testing.assert_array_equal(fd_nat.mask, fd_py.mask)
