@@ -32,6 +32,116 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_multistream(n_streams: int, n_frames: int = 40):
+    """Aggregate-throughput mode: S independent streams vmapped into ONE
+    device program on the single chip (python bench.py --streams S).
+
+    Each stream tracks a different window of the synthetic sequence; the
+    whole per-frame step (Pallas FAST pyramid, camera RANSAC+LM, classifier,
+    vmapped per-object LM, renewal) is batched over streams, so fixed
+    per-call overhead (dispatch + tunnel round-trip) amortizes S-fold.
+    """
+    np.seterr(all="ignore")
+    import pickle
+    from pathlib import Path
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vdo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import dataclasses as dc
+
+    from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
+    from vdo_slam_tpu.io.packing import depth_wire_scale, pack_frame
+    from vdo_slam_tpu.io.synthetic import make_scene
+    from vdo_slam_tpu.io.dataset import SyntheticDataset
+    from vdo_slam_tpu.parallel.multistream import (make_frame_step,
+                                                   make_stream_state)
+
+    W, H = 1242, 375
+    cache = Path(f"/tmp/vdo_bench_scene_{N_FRAMES}.pkl")
+    if cache.exists():
+        scene = pickle.loads(cache.read_bytes())
+    else:
+        scene = make_scene(num_frames=N_FRAMES + 1, width=W, height=H,
+                           num_objects=3, fx=721.5377, seed=7)
+        cache.write_bytes(pickle.dumps(scene))
+    cfg = VDOConfig()
+    cfg = cfg.replace(
+        camera=dc.replace(cfg.camera, fx=721.5377, fy=721.5377, cx=W / 2.0,
+                          cy=H / 2.0, width=W, height=H, bf=387.5744),
+        tracking=dc.replace(TrackingConfig(), dataset=KITTI,
+                            depth_map_factor=256.0),
+        shapes=ShapeConfig(),
+    )
+    ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
+    dscale = depth_wire_scale(cfg.tracking.depth_map_factor)
+
+    step = jax.jit(jax.vmap(make_frame_step(cfg, packed=True)))
+    states = jax.tree.map(
+        lambda x: jnp_stack([x] * n_streams), make_stream_state(cfg))
+
+    # each stream starts at a different offset of the sequence
+    offsets = [(7 * s) % (len(ds) - n_frames) for s in range(n_streams)]
+
+    def frame_inputs(i):
+        packs, gts = [], []
+        for s in range(n_streams):
+            fd = ds[offsets[s] + i]
+            packs.append(pack_frame(
+                np.asarray(fd.rgb, np.float32),
+                np.asarray(fd.depth_raw, np.float32),
+                np.asarray(fd.flow, np.float32),
+                np.asarray(fd.mask), depth_scale=dscale))
+            T_wc = np.asarray(fd.pose_gt_raw, np.float64)
+            T0 = np.asarray(ds[offsets[s]].pose_gt_raw, np.float64)
+            gts.append((np.linalg.inv(T_wc) @ T0).astype(np.float32))
+        return {"packed": np.stack(packs), "T_cw_gt": np.stack(gts)}
+
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0),
+                                       (n_frames + 4) * n_streams)
+                      ).reshape(n_frames + 4, n_streams, 2)
+
+    # warmup (compile)
+    log(f"multistream: compiling S={n_streams} step...")
+    t0 = time.perf_counter()
+    for i in range(3):
+        states, metrics = step(states, jax.device_put(frame_inputs(i)),
+                               keys[i])
+        log(f"  warm frame {i}: +{time.perf_counter()-t0:.1f}s")
+    _ = float(jax.device_get(metrics["t_rpe"]).sum())
+    log(f"multistream warmup (S={n_streams}): {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    staged = jax.device_put(frame_inputs(3))
+    rpes = []
+    for i in range(3, n_frames):
+        states, metrics = step(states, staged, keys[i])
+        if i + 1 < n_frames:
+            staged = jax.device_put(frame_inputs(i + 1))  # overlap upload
+        rpes.append(metrics["t_rpe"])
+    rpes = np.asarray(jax.device_get(jnp_stack(rpes)))
+    elapsed = time.perf_counter() - t0
+    n_done = (n_frames - 3) * n_streams
+    fps = n_done / elapsed
+    log(f"multistream S={n_streams}: {n_done} frame-steps in {elapsed:.2f}s "
+        f"= {fps:.2f} aggregate fps ({fps / n_streams:.2f}/stream)")
+    log(f"mean t_rpe across streams/frames: {rpes.mean():.5f}")
+    print(json.dumps({
+        "metric": f"kitti_synth_multistream{n_streams}_aggregate_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+def jnp_stack(xs):
+    import jax.numpy as jnp
+
+    return jnp.stack(xs)
+
+
 def main():
     np.seterr(all="ignore")
     import jax
@@ -169,4 +279,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--streams" in sys.argv:
+        bench_multistream(int(sys.argv[sys.argv.index("--streams") + 1]))
+    else:
+        main()

@@ -230,6 +230,26 @@ class TestPallasFAST:
                                        interpret=True)
         np.testing.assert_allclose(np.asarray(pi), np.asarray(ref), atol=0)
 
+    def test_vmap_matches_per_image(self):
+        """vmap routes to the (batch, band)-grid kernel (the multi-stream
+        SPMD path); results must equal per-image calls bit-exactly."""
+        from vdo_slam_tpu.ops.fast_pallas import fast_score_pair_pallas
+
+        rng = np.random.default_rng(2)
+        imgs = (rng.random((3, 64, 150)) > 0.5).astype(np.float32)
+        gb = jnp.asarray(imgs)
+        bi, bm = jax.vmap(
+            lambda g: fast_score_pair_pallas(g, 20 / 255.0, 7 / 255.0,
+                                             interpret=True)
+        )(gb)
+        for s in range(3):
+            ri, rm = fast_score_pair_pallas(gb[s], 20 / 255.0, 7 / 255.0,
+                                            interpret=True)
+            np.testing.assert_allclose(np.asarray(bi[s]), np.asarray(ri),
+                                       atol=0)
+            np.testing.assert_allclose(np.asarray(bm[s]), np.asarray(rm),
+                                       atol=0)
+
 
 class TestGrid:
     def test_assign_and_query(self):

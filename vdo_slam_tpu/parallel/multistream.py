@@ -48,8 +48,7 @@ def make_stream_state(cfg: VDOConfig):
     }
 
 
-def make_frame_step(cfg: VDOConfig, vmappable: bool = False,
-                    packed: bool = False):
+def make_frame_step(cfg: VDOConfig, packed: bool = False):
     """One fully-fused per-frame tracking step (single stream).
 
     Returns step(state, inputs, key) -> (state, metrics) where inputs is a
@@ -57,15 +56,14 @@ def make_frame_step(cfg: VDOConfig, vmappable: bool = False,
     (packed (4,H,W) int16 wire buffer [io/packing.py], T_cw_gt); the unpack
     is elementwise and fuses into the first consumers.  The first call per
     stream initializes (frame-0 semantics); subsequent calls track.  Entirely
-    jit-compatible: the frame-0 branch is a lax.cond.
-
-    vmappable=True selects the jnp FAST path (the hand-tiled Pallas kernel
-    does not yet support vmap's batching rule).
+    jit-compatible (the frame-0 branch is a lax.cond) AND vmappable — the
+    Pallas FAST kernel's custom_vmap rule batches the detector grid.
     """
     tr = cfg.tracking
     # build stage bodies WITHOUT their own jit wrappers
-    prep_fn = _unjit(stages.make_prepare(
-        cfg, use_pallas=False if vmappable else None))
+    # (vmap of the Pallas FAST kernel routes to its batched-grid variant via
+    # custom_vmap, so the auto detector choice holds for multi-stream too)
+    prep_fn = _unjit(stages.make_prepare(cfg, use_pallas=None))
     inherit_fn = _unjit(stages.make_inherit(cfg))
     camera_fn = _unjit(stages.make_camera_stage(cfg))
     sflow_fn = _unjit(stages.make_scene_flow(cfg))
@@ -212,7 +210,7 @@ def make_multistream_step(cfg: VDOConfig, mesh: Mesh, axis: str = "stream"):
     `axis`; cross-stream mean metrics come back replicated (XLA inserts the
     all-reduce over ICI).
     """
-    step = make_frame_step(cfg, vmappable=True)
+    step = make_frame_step(cfg)
     vstep = jax.vmap(step)
 
     data_sharding = NamedSharding(mesh, P(axis))

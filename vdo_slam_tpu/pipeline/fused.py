@@ -32,11 +32,12 @@ from .tracking import _np_inv, obj_pose_parsing_kt, obj_pose_parsing_ox
 
 
 def _pack_outputs(state, metrics):
-    """Device-side repack of the per-frame outputs into 5 dense leaves.
+    """Device-side repack of the per-frame outputs into ONE dense vector.
 
     The tunnel pays a per-array round-trip cost; the natural output tree has
-    17+ small arrays (~40 ms to drain, measured).  Float32 packs are exact
-    for every field (ints < 2^24)."""
+    17+ small arrays (~40 ms to drain, measured), so everything is flattened
+    into a single f32 buffer (~200 KB) and split again on host.  Float32
+    packs are exact for every field (ints < 2^24)."""
     fs = state["frame"]
     s, d, m = fs.static, fs.dynamic, metrics
     f32 = jnp.float32
@@ -64,14 +65,18 @@ def _pack_outputs(state, metrics):
         m["t_rpe"], m["r_rpe"], m["n_inlier"].astype(f32),
         m["n_objects"].astype(f32), m["used_motion_model"].astype(f32),
     ])                                                          # (5,)
-    return {"stat": stat, "dyn": dyn, "slots": slots, "mats": mats,
-            "scal": scal}
+    return jnp.concatenate([stat.ravel(), dyn.ravel(), slots.ravel(),
+                            mats.ravel(), scal])
 
 
-def _unpack_host(out):
-    """Inverse of _pack_outputs on host numpy arrays -> the archive's view."""
-    stat, dyn, slots = out["stat"], out["dyn"], out["slots"]
-    mats, scal = out["mats"], out["scal"]
+def _unpack_host(vec, B, D, K):
+    """Inverse of _pack_outputs on a host numpy vector -> the archive's view."""
+    o = 0
+    stat = vec[o:o + B * 8].reshape(B, 8); o += B * 8
+    dyn = vec[o:o + D * 10].reshape(D, 10); o += D * 10
+    slots = vec[o:o + K * 25].reshape(K, 25); o += K * 25
+    mats = vec[o:o + 32].reshape(2, 4, 4); o += 32
+    scal = vec[o:o + 5]
     host_stat = (stat[:, 0:2], stat[:, 2], stat[:, 3:6],
                  stat[:, 6] > 0.5, stat[:, 7].astype(np.int32))
     host_dyn = (dyn[:, 0:2], dyn[:, 2], dyn[:, 3:6], dyn[:, 6] > 0.5,
@@ -163,9 +168,11 @@ class FusedTracker:
         """Archive the previous frame's (async-copied) outputs."""
         if getattr(self, "_pending", None) is None:
             return None
-        fd_p, T_cw_gt_p, fid_p, tree, t0_p = self._pending
+        fd_p, T_cw_gt_p, fid_p, vec, t0_p = self._pending
         self._pending = None
-        host = _unpack_host(jax.tree.map(np.asarray, tree))  # copies in flight
+        sh = self.cfg.shapes
+        host = _unpack_host(np.asarray(vec), sh.max_static, sh.max_dynamic,
+                            sh.max_objects)  # the async copy is in flight
         save_fid = self.frame_id
         self.frame_id = fid_p
         self._archive(fd_p, host, T_cw_gt_p)
@@ -223,15 +230,14 @@ class FusedTracker:
         inputs = dict(staged) if staged is not None else dict(self.device_inputs(fd))
         T_cw_gt = inputs.pop("_T_cw_gt_host")
         k = self._keys[self.frame_id % self.MAX_FRAMES]  # host-resident key
-        self.state, tree = self.step(self.state, inputs, k)
+        self.state, vec = self.step(self.state, inputs, k)
         # stage the NEXT frame while this step computes
         prefetched = prefetch_cb() if prefetch_cb is not None else None
         self._prefetched = prefetched
-        # start async copies of this frame's (packed) outputs
-        for leaf in jax.tree.leaves(tree):
-            leaf.copy_to_host_async()
+        # start the async copy of this frame's single packed output vector
+        vec.copy_to_host_async()
         rep_prev = self._drain_pending()
-        self._pending = (fd, T_cw_gt, self.frame_id, tree, t0)
+        self._pending = (fd, T_cw_gt, self.frame_id, vec, t0)
         self.frame_id += 1
         if rep_prev is None:
             rep_prev = {"frame_id": -1, "pipelining": True}
