@@ -35,6 +35,7 @@ class TestPlots:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip_resume_deterministic(self, tracked, tmp_path):
         from vdo_slam_tpu.pipeline import System
         from vdo_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vdo_slam_tpu.io.synthetic import make_scene
 from vdo_slam_tpu.ops import fast, frontend, image, select
@@ -294,6 +295,7 @@ class TestUndistort:
 
 
 class TestVisualize:
+    @pytest.mark.slow
     def test_draw_frame_and_trajectory(self, tmp_path):
         from tests.test_pipeline_e2e import small_config
         from vdo_slam_tpu.eval.visualize import draw_frame, draw_trajectory

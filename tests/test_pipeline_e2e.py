@@ -214,6 +214,7 @@ class TestRobustness:
         ]
         assert any(ok[3:6]), ok
 
+    @pytest.mark.slow
     def test_depth_noise_pipeline(self, scene):
         """Reference-style synthetic depth-noise injection on the non-joint
         path (Frame.cc:489-493) — pipeline stays functional."""
