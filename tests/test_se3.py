@@ -111,6 +111,30 @@ class TestMetrics:
         T = se3.from_Rt(R, jnp.zeros(3))
         np.testing.assert_allclose(float(metrics.clamped_trace_angle_deg(T)), 10.0, atol=0.01)
 
+    def test_small_angle_no_fp32_floor(self):
+        """The skew-norm extraction must resolve angles far below the
+        sqrt(2*eps_f32) ~ 0.02 deg floor of the naive acos((tr-1)/2) form
+        on f32-rounded matrices (DESIGN.md §8)."""
+        ang = 2e-4  # rad ~ 0.0115 deg, below the trace-form floor
+        R = se3.so3_exp(jnp.array([0.0, 0.0, ang]))
+        T = np.asarray(se3.from_Rt(R, jnp.zeros(3)), np.float32)
+        got = float(metrics.clamped_trace_angle_deg(jnp.asarray(T)))
+        np.testing.assert_allclose(got, np.degrees(ang), rtol=0.02)
+        # identity in f32 reads as ~0, not ~0.02 deg
+        eye = jnp.eye(4, dtype=jnp.float32)
+        assert float(metrics.clamped_trace_angle_deg(eye)) < 1e-5
+
+    def test_host_report_angle_matches_device_metric(self):
+        from vdo_slam_tpu.eval.results import _stable_angle_deg
+
+        T = np.asarray(se3.from_Rt(se3.so3_exp(jnp.array([0.01, -0.02, 0.03])),
+                                   jnp.array([1.0, 2.0, 3.0])))
+        np.testing.assert_allclose(
+            _stable_angle_deg(T.astype(np.float64)),
+            float(metrics.clamped_trace_angle_deg(jnp.asarray(T))),
+            rtol=1e-4,
+        )
+
     def test_camera_rpe_zero_when_equal(self):
         T0 = random_pose(jax.random.PRNGKey(8))
         T1 = random_pose(jax.random.PRNGKey(9))

@@ -25,6 +25,19 @@ def _inv(T):
     return out
 
 
+def _stable_angle_deg(T) -> float:
+    """The reference's clamped-trace rotation angle (Tracking.cc:3268-3276)
+    via the skew-norm atan2 form — algebraically identical on exact rotation
+    matrices, but linear (not quadratic) in input rounding, so f32-stored
+    pose chains don't read a sqrt(eps) ~ 0.03 deg phantom angle (DESIGN.md;
+    same extraction as geometry.metrics.clamped_trace_angle_deg)."""
+    sin_t = 0.5 * float(np.linalg.norm([
+        T[2, 1] - T[1, 2], T[0, 2] - T[2, 0], T[1, 0] - T[0, 1]]))
+    diag = np.diag(T)[:3]
+    tr_c = float(np.sum(np.where(diag > 1.0, 2.0 - diag, diag)))
+    return float(np.degrees(np.arctan2(sin_t, np.clip((tr_c - 1) / 2, -1, 1))))
+
+
 def _fmt_pose_row(prefix: str, T: np.ndarray) -> str:
     vals = " ".join(f"{T[i, j]:.9f}" for i in range(3) for j in range(4))
     return f"{prefix} {vals} 0.000000000 0.000000000 0.000000000 1.000000000"
@@ -106,9 +119,7 @@ def metric_report(m: MapState, refined: bool = False, rms: bool = False) -> dict
         ate = _np4(poses[i]) @ np.linalg.inv(_np4(poses[i - 1])) @ \
             _np4(gt[i - 1]) @ np.linalg.inv(_np4(gt[i]))
         t_err = float(np.linalg.norm(ate[:3, 3]))
-        diag = np.diag(ate)[:3]
-        tr_c = float(np.sum(np.where(diag > 1.0, 2.0 - diag, diag)))
-        r_err = float(np.degrees(np.arccos(np.clip((tr_c - 1) / 2, -1, 1))))
+        r_err = _stable_angle_deg(ate)
         if rms:
             t_sum += t_err ** 2
             r_sum += r_err ** 2
@@ -132,9 +143,7 @@ def metric_report(m: MapState, refined: bool = False, rms: bool = False) -> dict
             body = _inv(L) @ mots[f][j] @ L
             err = _inv(body) @ m.rigid_motion_gt[f][j]
             t_err = float(np.linalg.norm(err[:3, 3]))
-            diag = np.diag(err)[:3]
-            tr_c = float(np.sum(np.where(diag > 1.0, 2.0 - diag, diag)))
-            r_err = float(np.degrees(np.arccos(np.clip((tr_c - 1) / 2, -1, 1))))
+            r_err = _stable_angle_deg(err)
             if rms:
                 to_sum += t_err ** 2
                 ro_sum += r_err ** 2

@@ -17,16 +17,30 @@ _RAD2DEG = 180.0 / 3.1415926  # reference uses this literal, not numpy pi
 
 
 def clamped_trace_angle_deg(T: jax.Array) -> jax.Array:
-    """Rotation magnitude of (...,4,4) via the reference's clamped trace.
+    """Rotation magnitude of (...,4,4) — the reference's metric
+    (Tracking.cc:3268-3276: clamped trace, angle = acos((tr-1)/2)), computed
+    with a numerically stable extraction.
 
-    For each diagonal element d: contribute (1 - (d - 1)) if d > 1 else d,
-    then angle = acos((trace - 1)/2) * 180/pi  (Tracking.cc:3268-3276).
+    acos((tr-1)/2) is QUADRATIC near theta=0 (trace deficit ~ theta^2), so
+    fp32 rounding of the matrix entries (~6e-8 per diagonal element) reads
+    as a sqrt(2*eps) ~ 0.03 deg phantom angle — measured: on identical f32
+    pose chains the trace form reports 0.015-0.04 deg where the true
+    relative rotation error is ~2e-4 deg (DESIGN.md).  The skew-norm atan2
+    form below is algebraically identical on exact rotation matrices
+    (|diag| <= 1 there, so the reference's per-element clamping is inert)
+    but propagates input rounding linearly, eliminating the floor.
     """
+    s_vec = jnp.stack([
+        T[..., 2, 1] - T[..., 1, 2],
+        T[..., 0, 2] - T[..., 2, 0],
+        T[..., 1, 0] - T[..., 0, 1],
+    ], axis=-1)
+    sin_t = 0.5 * jnp.linalg.norm(s_vec, axis=-1)
     diag = jnp.stack([T[..., 0, 0], T[..., 1, 1], T[..., 2, 2]], axis=-1)
     clamped = jnp.where(diag > 1.0, 2.0 - diag, diag)
     trace = jnp.sum(clamped, axis=-1)
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    return jnp.arccos(cos_t) * _RAD2DEG
+    return jnp.arctan2(sin_t, cos_t) * _RAD2DEG
 
 
 def translation_norm(T: jax.Array) -> jax.Array:
