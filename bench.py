@@ -182,6 +182,9 @@ def main():
         ),
         tracking=dataclasses.replace(
             TrackingConfig(), dataset=KITTI, depth_map_factor=256.0,
+            # 4 frames per device call (unrolled scan): amortizes the
+            # ~50 ms/call dispatch+transfer overhead of the remote tunnel
+            fused_chunk=4,
         ),
         shapes=ShapeConfig(),
         # fixed full-graph capacities (deterministic shapes -> the full-BA

@@ -123,3 +123,20 @@ class TestFusedSystem:
         # objects tracked and archived
         assert rep["n_obj_estimates"] >= 3
         assert sysm.map.num_frames == len(reports)
+
+        # chunked drive (fused_chunk=2 over 5 frames: 2 chunks + 1 tail
+        # single) must reproduce the per-frame drive's archive exactly
+        import dataclasses as dc
+
+        cfg2 = cfg.replace(tracking=dc.replace(cfg.tracking, fused_chunk=2))
+        sysm2 = System(cfg2, enable_local_ba=False, enable_global_ba=False,
+                       mode="fused")
+        reports2 = sysm2.run_sequence(ds)
+        assert sysm2.map.num_frames == sysm.map.num_frames
+        # XLA reassociates fp32 across the unrolled scan body: ~2e-5 drift
+        np.testing.assert_allclose(
+            np.stack(sysm2.map.cam_pose), np.stack(sysm.map.cam_pose),
+            atol=2e-4)
+        rep2 = sysm2.metrics()
+        assert abs(rep2["cam_t_rpe"] - rep["cam_t_rpe"]) < 1e-4
+        assert rep2["n_obj_estimates"] == rep["n_obj_estimates"]

@@ -93,6 +93,10 @@ class TrackingConfig:
     # depth-noise fault injection (Frame.cc:489-493): sigma = z^2/(725*0.5)*0.15
     depth_noise: bool = False
     depth_noise_scale: float = 0.15 / (725.0 * 0.5)
+    # fused mode: frames tracked per device call (an unrolled lax.scan over
+    # the whole per-frame step).  >1 amortizes per-call dispatch/transfer
+    # overhead on remote-attached devices; archive reports lag by one chunk.
+    fused_chunk: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,6 +113,25 @@ class FusedTracker:
             return state, _pack_outputs(state, metrics)
 
         self.step = jax.jit(_step)
+        # chunked execution: C whole frames per device call (fully-unrolled
+        # scan — unrolled bodies layout-specialize on TPU, CLAUDE.md), which
+        # amortizes the per-call dispatch + transfer overhead of remote-
+        # attached devices C-fold
+        self.chunk = max(int(cfg.tracking.fused_chunk), 1)
+        if self.chunk > 1:
+            C = self.chunk
+
+            def _chunk_step(state, inputs, keys):
+                def body(st, x):
+                    st, vec = _step(st, {"packed": x["packed"],
+                                         "T_cw_gt": x["T_cw_gt"]}, x["key"])
+                    return st, vec
+                xs = {"packed": inputs["packed"],
+                      "T_cw_gt": inputs["T_cw_gt"], "key": keys}
+                return jax.lax.scan(body, state, xs, length=C, unroll=C)
+
+            self.step_chunk = jax.jit(_chunk_step)
+        self._pending_chunk = None
         self.state = make_stream_state(cfg)
         # pre-split the whole run's PRNG keys ONCE; host-resident so no
         # per-frame device round-trip for jax.random.split
@@ -164,15 +183,11 @@ class FusedTracker:
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
 
-    def _drain_pending(self):
-        """Archive the previous frame's (async-copied) outputs."""
-        if getattr(self, "_pending", None) is None:
-            return None
-        fd_p, T_cw_gt_p, fid_p, vec, t0_p = self._pending
-        self._pending = None
+    def _finish_frame(self, fd_p, T_cw_gt_p, fid_p, vec_np, t0_p):
+        """Archive one frame's unpacked outputs + fire the window-BA trigger."""
         sh = self.cfg.shapes
-        host = _unpack_host(np.asarray(vec), sh.max_static, sh.max_dynamic,
-                            sh.max_objects)  # the async copy is in flight
+        host = _unpack_host(vec_np, sh.max_static, sh.max_dynamic,
+                            sh.max_objects)
         save_fid = self.frame_id
         self.frame_id = fid_p
         self._archive(fd_p, host, T_cw_gt_p)
@@ -209,6 +224,27 @@ class FusedTracker:
             self._ba_thread.start()
         return rep
 
+    def _drain_pending(self):
+        """Archive the previous frame's (async-copied) outputs."""
+        if getattr(self, "_pending", None) is None:
+            return None
+        fd_p, T_cw_gt_p, fid_p, vec, t0_p = self._pending
+        self._pending = None
+        return self._finish_frame(fd_p, T_cw_gt_p, fid_p, np.asarray(vec),
+                                  t0_p)
+
+    def _drain_pending_chunk(self):
+        """Archive the previous CHUNK's (async-copied) outputs, per frame."""
+        if self._pending_chunk is None:
+            return []
+        fds, gts, fid0, vecs, t0_p = self._pending_chunk
+        self._pending_chunk = None
+        vecs_np = np.asarray(vecs)              # (C, n) — copy in flight
+        return [
+            self._finish_frame(fds[c], gts[c], fid0 + c, vecs_np[c], t0_p)
+            for c in range(len(fds))
+        ]
+
     def _join_ba(self):
         if self._ba_thread is not None:
             self._ba_thread.join()
@@ -243,12 +279,54 @@ class FusedTracker:
             rep_prev = {"frame_id": -1, "pipelining": True}
         return rep_prev
 
-    def flush(self) -> dict | None:
-        """Archive the final in-flight frame and join any background window
-        solve (call once after the loop)."""
+    def device_inputs_chunk(self, fds) -> dict:
+        """Stage a CHUNK of frames on device in one transfer (async)."""
+        from ..io.packing import depth_wire_scale
+
+        dscale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
+        packs, gts = [], []
+        for fd in fds:
+            gts.append(self._gt_pose(fd.pose_gt_raw))
+            packs.append(pack_frame(
+                np.asarray(fd.rgb, np.float32),
+                np.asarray(fd.depth_raw, np.float32),
+                np.asarray(fd.flow, np.float32),
+                np.asarray(fd.mask), depth_scale=dscale))
+        staged = jax.device_put({
+            "packed": np.stack(packs),
+            "T_cw_gt": np.stack(gts).astype(np.float32),
+        })
+        staged["_T_cw_gt_host"] = gts
+        return staged
+
+    def grab_chunk(self, fds, staged: dict | None = None,
+                   prefetch_cb=None) -> list[dict]:
+        """Pipelined processing of len(fds) == chunk frames in ONE device
+        call; returns the PREVIOUS chunk's per-frame reports (see
+        grab_frame).  Call flush() for the final chunk."""
+        assert len(fds) == self.chunk, (len(fds), self.chunk)
+        t0 = time.perf_counter()
+        inputs = dict(staged) if staged is not None \
+            else dict(self.device_inputs_chunk(fds))
+        gts = inputs.pop("_T_cw_gt_host")
+        k0 = self.frame_id % self.MAX_FRAMES
+        keys = self._keys[k0:k0 + self.chunk]
+        self.state, vecs = self.step_chunk(self.state, inputs, keys)
+        prefetched = prefetch_cb() if prefetch_cb is not None else None
+        self._prefetched = prefetched
+        vecs.copy_to_host_async()
+        reps = self._drain_pending_chunk()
+        self._pending_chunk = (list(fds), gts, self.frame_id, vecs, t0)
+        self.frame_id += self.chunk
+        return reps
+
+    def flush(self) -> dict | list | None:
+        """Archive the final in-flight frame/chunk and join any background
+        window solve (call once after the loop)."""
         rep = self._drain_pending()
+        reps = self._drain_pending_chunk()
         self._join_ba()
-        return rep
+        return reps if reps else rep
 
     def _archive(self, fd: FrameData, host: dict, T_cw_gt):
         m = self.map

@@ -72,6 +72,64 @@ class System:
                 def __getitem__(s, i):
                     return s.b[i]
 
+            def _show(rep):
+                if not rep.get("pipelining"):
+                    if verbose and "t_rpe" in rep:
+                        print(
+                            f"frame {rep['frame_id']}: "
+                            f"rpe t={rep['t_rpe']:.4f} r={rep['r_rpe']:.4f} "
+                            f"inliers={rep['n_inlier_cam']}"
+                        )
+                    reports.append(rep)
+
+            C = getattr(self.tracker, "chunk", 1)
+            if C > 1 and n >= C:
+                # chunked drive: C frames per device call, prefetching the
+                # next chunk while the current one computes
+                pf = ThreadedPrefetcher(_Limit(dataset, n))
+                it = iter(pf)
+                nxt = [None]
+
+                def prefetch_chunk():
+                    take = []
+                    for _ in range(C):
+                        x = next(it, None)
+                        if x is None:
+                            break
+                        take.append(x)
+                    nxt[0] = take
+                    if len(take) == C:
+                        return self.tracker.device_inputs_chunk(take)
+                    return None
+
+                try:
+                    fds = [next(it) for _ in range(C)]
+                    staged = self.tracker.device_inputs_chunk(fds)
+                    while True:
+                        for rep in self.tracker.grab_chunk(
+                                fds, staged, prefetch_cb=prefetch_chunk):
+                            _show(rep)
+                        staged = getattr(self.tracker, "_prefetched", None)
+                        fds = nxt[0]
+                        if staged is None or fds is None or len(fds) < C:
+                            break
+                    # ordered drain before any tail singles
+                    for rep in self.tracker._drain_pending_chunk():
+                        _show(rep)
+                    for fd in (fds or []):
+                        _show(self.tracker.grab_frame(fd))
+                finally:
+                    pf.close()
+                final = self.tracker.flush()
+                for rep in ([final] if isinstance(final, dict)
+                            else (final or [])):
+                    _show(rep)
+                if self.enable_global_ba and self.map.num_frames > 2:
+                    from ..backend.full_ba import full_ba_inplace
+
+                    full_ba_inplace(self.map, self.cfg)
+                return reports
+
             pf = ThreadedPrefetcher(_Limit(dataset, n))
             it = iter(pf)
             fd = next(it)
