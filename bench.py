@@ -202,16 +202,22 @@ def main():
     sysm = System(cfg, enable_local_ba=True, enable_global_ba=False,
                   mode="fused")
 
-    # compile + first-execute the full-BA program in the background while
-    # tracking runs (first execution of a fresh executable costs ~10-25 s
-    # on the remote worker)
+    # compile + first-execute the window-BA and full-BA programs in the
+    # background while tracking warms up (first execution of a fresh
+    # executable costs seconds to minutes on the remote worker; the first
+    # window trigger would otherwise stall mid-sequence)
     import threading
 
     from vdo_slam_tpu.backend.full_ba import warmup_full_ba
+    from vdo_slam_tpu.backend.window_ba import warmup_window_ba
+
+    def _warm_solvers():
+        warmup_window_ba(cfg)
+        log(f"window-BA warmup done at +{time.perf_counter() - warm_t0:.1f}s")
+        warmup_full_ba(cfg, N_FRAMES)
 
     warm_t0 = time.perf_counter()
-    warm = threading.Thread(target=warmup_full_ba, args=(cfg, N_FRAMES),
-                            daemon=True)
+    warm = threading.Thread(target=_warm_solvers, daemon=True)
     warm.start()
 
     # ---- warmup (compilation)

@@ -23,6 +23,12 @@ def _bucket(n: int, step: int = 1024) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+# fixed window-graph capacities: every window solve (and the warmup dummy)
+# shares ONE compiled executable
+P_CAP = 4096
+E_CAP = 24576
+
+
 def _unproject_np(xy, depth, cfg: VDOConfig):
     c = cfg.camera
     x = (xy[..., 0] - c.cx) * depth / c.fx
@@ -148,10 +154,8 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
     tracks, _ = build_tracklets(m.stat_assoc[: N - 1], m.stat_valid[:N])
     sel = [t for t in tracks
            if len(t) >= be.track_len_thres and t[0][0] >= start]
-    # fixed capacities so every window solve reuses ONE compiled executable:
-    # prefer long tracklets (most informative) when over budget
-    P_CAP = 4096
-    E_CAP = 24576
+    # fixed capacities (module constants) so every window solve reuses ONE
+    # compiled executable: prefer long tracklets (most informative) over cap
     n_candidates = len(sel)
     if len(sel) > P_CAP:
         sel = sorted(sel, key=len, reverse=True)[:P_CAP]
@@ -215,6 +219,32 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
         n_tracks_dropped=n_dropped,
     )
     return graph, variables, meta
+
+
+def empty_window_graph(cfg: VDOConfig, window: int | None = None):
+    """A zero-weight window graph with EXACTLY the shapes build_window_graph
+    produces once the archive holds >= window frames (P_CAP/E_CAP are fixed
+    capacities, so shapes depend only on the window length).  Used to
+    compile + first-execute the window-BA program before the first real
+    trigger — program load costs seconds on the remote worker and would
+    otherwise land mid-tracking."""
+    W = window or cfg.tracking.window_size
+    be = cfg.backend
+    parts = _empty_parts()
+    for i in range(1, W):
+        parts["odo_a"].append(i - 1)
+        parts["odo_b"].append(i)
+        parts["odo_meas_inv"].append(np.eye(4, dtype=np.float32))
+        parts["odo_w"].append(1.0 / be.local_sigma2_cam)
+    parts["pri_idx"].append(0)
+    parts["pri_meas_inv"].append(np.eye(4, dtype=np.float32))
+    parts["pri_w"].append(be.prior_information)
+    variables = Variables(
+        poses=np.tile(np.eye(4, dtype=np.float32), (W, 1, 1)),
+        motions=np.eye(4, dtype=np.float32)[None],
+        points=np.zeros((P_CAP, 3), np.float32),
+    )
+    return _pad_graph(parts, W, 1, E_CAP), variables
 
 
 def build_full_graph(m: MapState, cfg: VDOConfig):

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..config import VDOConfig
 from ..pipeline.map_state import MapState
-from .builders import build_window_graph
+from .builders import build_window_graph, empty_window_graph
 from .factor_graph import LMParams, Variables, lm_solve, lm_solve_schur
 
 
@@ -25,21 +25,35 @@ def _np_inv(T):
     return out
 
 
-def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
-                     iters: int | None = None, solver: str = "schur",
-                     n_frames: int | None = None) -> dict:
-    """n_frames pins the window end (see build_window_graph) so this can run
-    on a background thread while tracking appends new frames; write-back
-    touches only indices < n_frames."""
+def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
     be = cfg.backend
-    graph, v0, meta = build_window_graph(m, cfg, window, n_frames=n_frames)
-    p = LMParams(
+    return LMParams(
         iters=iters if iters is not None else min(be.local_iters, 12),
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
         huber_delta=be.huber_delta,
         robust=be.robust_kernel,
     )
+
+
+def warmup_window_ba(cfg: VDOConfig, window: int | None = None) -> None:
+    """Compile AND first-execute the window-BA executable on a zero-weight
+    graph with the exact shapes real window solves use (P_CAP/E_CAP are
+    fixed).  Program load costs seconds on the remote worker; without this
+    the first mid-sequence window trigger stalls the tracking loop."""
+    g, v = empty_window_graph(cfg, window)
+    _, info = lm_solve_schur(g, v, _lm_params(cfg))
+    float(jax.device_get(info["cost"]))
+
+
+def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
+                     iters: int | None = None, solver: str = "schur",
+                     n_frames: int | None = None) -> dict:
+    """n_frames pins the window end (see build_window_graph) so this can run
+    on a background thread while tracking appends new frames; write-back
+    touches only indices < n_frames."""
+    graph, v0, meta = build_window_graph(m, cfg, window, n_frames=n_frames)
+    p = _lm_params(cfg, iters)
     v0 = Variables(
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
