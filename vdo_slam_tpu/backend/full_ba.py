@@ -22,9 +22,10 @@ from .builders import build_full_graph, empty_full_graph
 from .factor_graph import LMParams, Variables, lm_solve, lm_solve_chunked
 
 # LM iterations per device call: the remote worker kills single programs
-# that run longer than ~60-90 s, and a 100k-point full graph exceeds that
-# in one unchunked program.
-FULL_BA_CHUNK = 3
+# that run longer than ~60-90 s.  At ~0.5 s per warm LM iteration on the
+# 114k-point bench graph, 9 iterations per call stays far under the limit
+# while saving the cross-chunk host syncs that chunk=3 paid.
+FULL_BA_CHUNK = 9
 
 
 def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
