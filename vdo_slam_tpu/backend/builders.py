@@ -149,44 +149,64 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
     W = min(window or cfg.tracking.window_size, N)
     start = N - W
     frames = list(range(start, N))
-    pose_of = {f: i for i, f in enumerate(frames)}
 
-    tracks, _ = build_tracklets(m.stat_assoc[: N - 1], m.stat_valid[:N])
-    sel = [t for t in tracks
-           if len(t) >= be.track_len_thres and t[0][0] >= start]
+    # flat (track, frame, feat) arrays sorted by (track, frame) — zero
+    # python loops; this build runs on the tracking thread's core every
+    # window trigger, so host time here steals tracking throughput
+    (tid, frm, fea), _ = build_tracklets(m.stat_assoc[: N - 1],
+                                         m.stat_valid[:N], flat=True)
+    n_tracks = int(tid.max()) + 1 if tid.size else 1
+    counts = np.bincount(tid, minlength=n_tracks)
+    is_first = np.ones(tid.size, bool)
+    if tid.size:
+        is_first[1:] = tid[1:] != tid[:-1]
+    first_frame = np.full(n_tracks, -1, np.int64)
+    first_feat = np.zeros(n_tracks, np.int64)
+    first_frame[tid[is_first]] = frm[is_first]
+    first_feat[tid[is_first]] = fea[is_first]
+    keep = (counts >= be.track_len_thres) & (first_frame >= start)
+    kept_ids = np.nonzero(keep)[0]
+    lens = counts[kept_ids]
     # fixed capacities (module constants) so every window solve reuses ONE
     # compiled executable: prefer long tracklets (most informative) over cap
-    n_candidates = len(sel)
-    if len(sel) > P_CAP:
-        sel = sorted(sel, key=len, reverse=True)[:P_CAP]
-    while sum(len(t) for t in sel) > E_CAP:
-        sel = sel[: int(len(sel) * 0.9)]
-    n_dropped = n_candidates - len(sel)
+    n_candidates = kept_ids.size
+    if n_candidates > P_CAP:
+        order = np.argsort(-lens, kind="stable")[:P_CAP]
+        kept_ids, lens = kept_ids[order], lens[order]
+    while lens.sum() > E_CAP:
+        k = int(kept_ids.size * 0.9)
+        kept_ids, lens = kept_ids[:k], lens[:k]
+    n_dropped = n_candidates - kept_ids.size
     if n_dropped:
-        import sys
         print(
-            f"[window-ba] capacity truncation: kept {len(sel)}/{n_candidates}"
-            f" tracklets (P_CAP={P_CAP}, E_CAP={E_CAP}) — quality on this"
-            f" window degrades with the dropped short tracklets",
+            f"[window-ba] capacity truncation: kept {kept_ids.size}/"
+            f"{n_candidates} tracklets (P_CAP={P_CAP}, E_CAP={E_CAP}) — "
+            f"quality on this window degrades with the dropped tracklets",
             file=sys.stderr,
         )
+    n_pts = kept_ids.size
+
+    pid_of = np.full(n_tracks, -1, np.int64)
+    pid_of[kept_ids] = np.arange(n_pts)
+    sel = pid_of[tid] >= 0 if tid.size else np.zeros(0, bool)
+    s_pid, s_frm, s_fea = pid_of[tid[sel]], frm[sel], fea[sel]
+    # order rows by (pid, frame): identical to the per-track append order
+    order = np.lexsort((s_frm, s_pid))
+    s_pid, s_frm, s_fea = s_pid[order], s_frm[order], s_fea[order]
 
     parts = _empty_parts()
-    pts = []
-    meta_tracks = []
-    for pid, t in enumerate(sel):
-        f0, j0 = t[0]
-        pts.append(m.stat_3d[f0][j0])
-        meta_tracks.append(t)
-        for (f, j) in t:
-            if f not in pose_of:
-                continue
-            parts["obs_pose"].append(pose_of[f])
-            parts["obs_point"].append(pid)
-            parts["obs_meas"].append(
-                _unproject_np(m.stat_xy[f][j], m.stat_depth[f][j], cfg)
-            )
-            parts["obs_w"].append(1.0 / be.local_sigma2_3d_sta)
+    stat_xy = np.stack(m.stat_xy[:N]) if N else np.zeros((0, 0, 2))
+    stat_depth = np.stack(m.stat_depth[:N])
+    xy = stat_xy[s_frm, s_fea]
+    z = stat_depth[s_frm, s_fea]
+    c = cfg.camera
+    parts["obs_pose"] = (s_frm - start).astype(np.int32)
+    parts["obs_point"] = s_pid.astype(np.int32)
+    parts["obs_meas"] = np.stack([
+        (xy[:, 0] - c.cx) * z / c.fx, (xy[:, 1] - c.cy) * z / c.fy, z,
+    ], axis=-1).astype(np.float32)
+    parts["obs_w"] = np.full(s_frm.size, 1.0 / be.local_sigma2_3d_sta,
+                             np.float32)
 
     for i in range(1, W):
         f = frames[i]
@@ -203,21 +223,24 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
     parts["pri_w"].append(be.prior_information)
 
     # pad points to the fixed capacity (stable executable across windows)
-    pts_arr = (np.stack(pts).astype(np.float32).reshape(-1, 3)
-               if pts else np.zeros((1, 3), np.float32))
+    stat_3d = np.stack(m.stat_3d[:N])
     pad_p = np.zeros((P_CAP, 3), np.float32)
-    pad_p[: pts_arr.shape[0]] = pts_arr[:P_CAP]
+    if n_pts:
+        pad_p[:n_pts] = stat_3d[first_frame[kept_ids],
+                                first_feat[kept_ids]].astype(np.float32)
     variables = Variables(
         poses=np.stack([m.cam_pose[f] for f in frames]).astype(np.float32),
         motions=np.eye(4, dtype=np.float32)[None],
         points=pad_p,
     )
     graph = _pad_graph(parts, W, 1, E_CAP)  # single bucket: stable shapes
+    # static_tracks in flat form for the write-back (frame, feat, pid)
     meta = GraphMeta(
-        frame_ids=frames, static_tracks=meta_tracks, n_static_points=len(pts),
+        frame_ids=frames, static_tracks=[], n_static_points=n_pts,
         dyn_obs=[], motion_slots=[], n_poses=W, n_motions=1,
         n_tracks_dropped=n_dropped,
     )
+    meta.stat_obs = (s_frm, s_fea, s_pid)
     return graph, variables, meta
 
 

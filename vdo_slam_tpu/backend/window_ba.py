@@ -76,13 +76,13 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
 
     # write back refined static points at every in-window observation
     # (Optimizer.cc:1107-1121); archive arrays may be read-only device views
+    s_frm, s_fea, s_pid = meta.stat_obs
     for f in meta.frame_ids:
         if not m.stat_3d[f].flags.writeable:
             m.stat_3d[f] = m.stat_3d[f].copy()
-    for pid, t in enumerate(meta.static_tracks):
-        for (f, j) in t:
-            if meta.frame_ids[0] <= f <= meta.frame_ids[-1]:
-                m.stat_3d[f][j] = points[pid]
+    for f in np.unique(s_frm):
+        sel = s_frm == f
+        m.stat_3d[f][s_fea[sel]] = points[s_pid[sel]]
     # per-edge-type chi2 + inlier breakdown (Optimizer.cc:640-970 analog)
     stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
