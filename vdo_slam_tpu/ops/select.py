@@ -17,10 +17,16 @@ def masked_top_k(score: jax.Array, valid: jax.Array, k: int):
     """Select indices of the k highest-scoring valid entries.
 
     Returns (idx, out_valid): idx (k,) int32 indices into the input, out_valid
-    (k,) bool marking slots actually filled.  Deterministic (stable order).
+    (k,) bool marking slots actually filled.  Deterministic: ties broken by
+    lowest index (lax.top_k and stable argsort agree on this).
     """
+    n = score.shape[0]
     neg_inf = jnp.finfo(jnp.float32).min
     masked = jnp.where(valid, score.astype(jnp.float32), neg_inf)
+    if k < n:
+        # partial top-k beats a full bitonic argsort on TPU
+        _, idx = jax.lax.top_k(masked, k)
+        return idx.astype(jnp.int32), jnp.take(valid, idx)
     idx = jnp.argsort(-masked, stable=True)[:k]
     out_valid = jnp.take(valid, idx)
     if idx.shape[0] < k:  # more slots requested than candidates: pad
@@ -75,17 +81,28 @@ def quota_select(labels: jax.Array, valid: jax.Array, priority: jax.Array,
     per-object "top up to MaxTrackPointOBJ" loops (Tracking.cc:2838-2896).
     """
     n = labels.shape[0]
-    # order candidates by priority within label: sort by (label, -priority)
+    # ONE sort by (label, -priority); ranking and compaction are then scans/
+    # scatters (the previous per_label_rank+compact route re-sorted the n
+    # candidates twice more — sorts dominate this op on TPU at the 29k-
+    # candidate object-sampling size)
     lab_key = jnp.where(valid, labels.astype(jnp.int32), jnp.int32(2**30))
     order = jnp.lexsort((-priority, lab_key))
-    inv_valid = valid[order]
-    rank = per_label_rank(lab_key[order], inv_valid)
-    accept_sorted = inv_valid & (rank < quota)
-    # map acceptance back and compact
+    sl = lab_key[order]
+    sv = valid[order]
+    idx_ar = jnp.arange(n, dtype=jnp.int32)
+    same = jnp.concatenate([jnp.array([False]), sl[1:] == sl[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(same, 0, idx_ar))
+    rank = idx_ar - run_start
+    accept_sorted = sv & (rank < quota)
+    # acceptance back to original positions, then a stable cumsum-scatter
+    # compact (order-identical to compact()[:k], no extra sort)
     accept = jnp.zeros(n, dtype=bool).at[order].set(accept_sorted)
-    perm, _ = compact(accept)
-    idx = perm[:k]
-    return idx.astype(jnp.int32), jnp.take(accept, idx)
+    pos = jnp.cumsum(accept) - 1
+    target = jnp.where(accept & (pos < k), pos, k)  # k -> dropped
+    idx = jnp.zeros(k, jnp.int32).at[target].set(idx_ar, mode="drop")
+    out_valid = jnp.zeros(k, bool).at[target].set(True, mode="drop")
+    return idx, out_valid
 
 
 def gather_rows(arr: jax.Array, idx: jax.Array, valid: jax.Array, fill=0):
