@@ -279,6 +279,30 @@ class TestFullBA:
         assert rep["cam_t_rpe"] < rep0["cam_t_rpe"] * 2 + 5e-3
         assert rep["obj_t_rpe"] < rep0["obj_t_rpe"] * 2 + 0.05
 
+    def test_window_warmup_shapes_match_real_build(self, tracked_map):
+        """empty_window_graph must predict build_window_graph's shapes
+        exactly (same executable), and warmup_window_ba must run clean on
+        the zero-weight graph."""
+        import jax
+
+        from vdo_slam_tpu.backend.builders import (build_window_graph,
+                                                   empty_window_graph)
+        from vdo_slam_tpu.backend.window_ba import warmup_window_ba
+
+        sysm, scene, cfg = tracked_map
+        m = sysm.map
+        W = min(cfg.tracking.window_size, m.num_frames)
+        g_real, v_real, _ = build_window_graph(m, cfg)
+        g_dummy, v_dummy = empty_window_graph(cfg, window=W)
+        real_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
+                               g_real)
+        dummy_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
+                                g_dummy)
+        assert real_sd == dummy_sd
+        assert np.shape(v_real.poses) == np.shape(v_dummy.poses)
+        assert np.shape(v_real.points) == np.shape(v_dummy.points)
+        warmup_window_ba(cfg, window=W)  # must not raise / NaN-crash
+
     def test_capped_shapes_match_warmup_and_solve(self, tracked_map):
         """With full_* caps set, build_full_graph must produce exactly the
         shapes empty_full_graph predicts (so the background-warmed
