@@ -275,9 +275,15 @@ class TestFullBA:
         assert info["n_dyn"] > 20
         rep = metric_report(m, refined=True)
         rep0 = metric_report(m, refined=False)
-        # refined estimates stay in the same accuracy class
-        assert rep["cam_t_rpe"] < rep0["cam_t_rpe"] * 2 + 5e-3
-        assert rep["obj_t_rpe"] < rep0["obj_t_rpe"] * 2 + 0.05
+        # the global refinement must not trail the tracked estimates on ANY
+        # RPE axis (the reference's full BA is the headline refinement step,
+        # Optimizer.cc:1232-2175; round-2 regression: refined obj rotation
+        # was 2.4x worse until the tracked-motion init + fp32 pose-Huber +
+        # sigma2_cam fixes).  Tolerance: 2% + fp32 noise floor.
+        for k, floor in (("cam_t_rpe", 1e-6), ("cam_r_rpe_deg", 1e-5),
+                         ("obj_t_rpe", 1e-6), ("obj_r_rpe_deg", 1e-5)):
+            assert rep[k] <= rep0[k] * 1.02 + floor, (
+                f"full BA worsened {k}: {rep0[k]:.3e} -> {rep[k]:.3e}")
 
     def test_window_warmup_shapes_match_real_build(self, tracked_map):
         """empty_window_graph must predict build_window_graph's shapes

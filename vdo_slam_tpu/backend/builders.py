@@ -422,9 +422,20 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
         or n_motions
     pts = np.concatenate(
         [pts, np.zeros((P_pad - pts.shape[0], 3), np.float32)])
+    # Motion vertices start from the TRACKED per-frame estimates rather than
+    # the reference's identity init (Optimizer.cc:1575-1582).  g2o runs up to
+    # 300 exact-Cholesky LM iterations from identity; under this solver's
+    # fixed chunked budget the identity init converges into a worse basin
+    # (measured: refined obj-rotation RPE 12x worse than tracked, while the
+    # tracked init lands in the same basin a GT init reaches and refines
+    # BELOW the tracked error).  The tracked motions are available by
+    # construction at full-BA time, so this is strictly more information.
+    mots = np.tile(np.eye(4, dtype=np.float32), (M_pad, 1, 1))
+    for mid, (fp, j) in enumerate(motion_slots):
+        mots[mid] = np.asarray(m.rigid_motion[fp][j], np.float32)
     variables = Variables(
         poses=np.stack(m.cam_pose).astype(np.float32),
-        motions=np.tile(np.eye(4, dtype=np.float32), (M_pad, 1, 1)),
+        motions=mots,
         points=pts,
     )
     sizes = {

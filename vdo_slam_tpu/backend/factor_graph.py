@@ -87,6 +87,18 @@ class LMParams:
     lambda_up: float = 10.0
     lambda_down: float = 0.5
     huber_delta: float = 1e-4     # reference deltaHuber* (Optimizer.cc:1352)
+    # Huber-delta FLOOR for the SE(3) chain edges (odo, smooth).  The
+    # reference applies deltaHuberCamMot=1e-4 to these too (Optimizer.cc:
+    # 1352) but computes chi2 in DOUBLE, where an odometry edge whose
+    # measurement is the tracked motion has chi2 ~1e-15 at init — a
+    # full-weight inlier.  In fp32 the same edge sits at chi2 ~4e-8 of pure
+    # rounding noise, just above delta^2=1e-8, and would be spuriously
+    # robustified: its effective information collapses ~1000x and the
+    # camera chain loses its stiffness (measured: refined cam RPE trails
+    # initial without this).  Chain edges use max(huber_delta, this floor):
+    # 1e-3 keeps the quadratic zone above the fp32 noise floor while still
+    # robustifying genuinely inconsistent chain edges.
+    pose_huber_delta: float = 1e-3
     robust: bool = True
     gain_eps: float = 0.0         # optional early-stop on relative decrease
     axis_name: str | None = None  # set under shard_map: edges sharded over
@@ -138,6 +150,14 @@ def _maybe_psum(x, p):
 EDGE_TYPES = ("obs", "odo", "pri", "smo", "ter", "alt")
 
 
+def _edge_delta(name: str, p: LMParams) -> float:
+    """Huber delta per edge type: SE(3) chain edges get the fp32-adjusted
+    pose-delta floor (see LMParams.pose_huber_delta)."""
+    if name in ("odo", "smo"):
+        return max(p.huber_delta, p.pose_huber_delta)
+    return p.huber_delta
+
+
 def edge_type_stats(g: Graph, v: Variables, p: LMParams):
     """Per-edge-type chi2 totals and inlier counts — the solver-health
     instrumentation the reference prints around each batch solve (chi2
@@ -150,16 +170,16 @@ def edge_type_stats(g: Graph, v: Variables, p: LMParams):
     """
     rs = residuals(g, v)
     ws = (g.obs_w, g.odo_w, g.pri_w, g.smo_w, g.ter_w, g.alt_w)
-    d2 = p.huber_delta * p.huber_delta
     out = {}
     for name, r, w in zip(EDGE_TYPES, rs, ws):
+        d = _edge_delta(name, p)
         chi2 = w * jnp.sum(r * r, axis=-1)
         active = w > 0
         out[name] = {
             "n": _maybe_psum(jnp.sum(active.astype(jnp.int32)), p),
             "chi2": _maybe_psum(jnp.sum(jnp.where(active, chi2, 0.0)), p),
             "n_inlier": _maybe_psum(
-                jnp.sum((active & (chi2 <= d2)).astype(jnp.int32)), p),
+                jnp.sum((active & (chi2 <= d * d)).astype(jnp.int32)), p),
         }
     return out
 
@@ -185,9 +205,9 @@ def robust_cost(g: Graph, v: Variables, p: LMParams):
     rs = residuals(g, v)
     ws = (g.obs_w, g.odo_w, g.pri_w, g.smo_w, g.ter_w, g.alt_w)
     total = 0.0
-    d = p.huber_delta
-    for r, w in zip(rs, ws):
+    for name, r, w in zip(EDGE_TYPES, rs, ws):
         chi2 = w * jnp.sum(r * r, axis=-1)
+        d = _edge_delta(name, p)
         if p.robust:
             rho = jnp.where(
                 chi2 <= d * d, chi2,
@@ -294,10 +314,11 @@ def _linearize(g: Graph, v: Variables, p: LMParams):
     """Residuals, IRLS-weighted edge weights, and Jacobian blocks."""
     r_obs, r_odo, r_pri, r_smo, r_ter, r_alt = residuals(g, v)
     d = p.huber_delta
+    dp = _edge_delta("odo", p)
     w_obs = g.obs_w * _huber_w(r_obs, g.obs_w, d, p.robust)
-    w_odo = g.odo_w * _huber_w(r_odo, g.odo_w, d, p.robust)
+    w_odo = g.odo_w * _huber_w(r_odo, g.odo_w, dp, p.robust)
     w_pri = g.pri_w  # prior is not robustified (information 1e5/1e7)
-    w_smo = g.smo_w * _huber_w(r_smo, g.smo_w, d, p.robust)
+    w_smo = g.smo_w * _huber_w(r_smo, g.smo_w, dp, p.robust)
     w_ter = g.ter_w * _huber_w(r_ter, g.ter_w, d, p.robust)
     w_alt = g.alt_w
 

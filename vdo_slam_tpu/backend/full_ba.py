@@ -35,6 +35,7 @@ def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
         huber_delta=be.huber_delta,
+        pose_huber_delta=be.pose_huber_delta,
         robust=be.robust_kernel,
         gain_eps=be.full_gain_thres * 10,  # cross-chunk stop
     )

@@ -132,7 +132,14 @@ class BackendConfig:
     local_gain_thres: float = 1e-3     # Optimizer.cc:141
     local_iters: int = 100
     # full-batch BA — Optimizer::FullBatchOptimization (Optimizer.cc:1232-)
-    full_sigma2_cam: float = 1e-3      # Optimizer.cc:1330
+    # Odometry-chain information in the full BA.  The reference ships
+    # sigma2_cam=1e-3 for KITTI and 1e-4 for OMD ("// 0.005 0.001 (ox:)
+    # 0.0001", Optimizer.cc:1330).  We default to the stiffer 1e-4: with the
+    # tracked chain already window-BA-refined, 1e-3 lets the L1-robustified
+    # static structure drag the cameras ~4e-4 deg/frame of consensus churn
+    # (measured round 3: refined cam rotation RPE trailed initial by 2-3%);
+    # at 1e-4 refined beats initial on all four RPE axes.
+    full_sigma2_cam: float = 1e-4
     full_sigma2_3d_sta: float = 80.0
     full_sigma2_obj_smo: float = 1e-3
     full_sigma2_obj: float = 100.0
@@ -143,6 +150,12 @@ class BackendConfig:
                                        # preconditioned GN converges in ~10
     prior_information: float = 1e5     # Optimizer.cc:1341 (*100000)
     huber_delta: float = 1e-4          # deltaHuberCamMot/ObjMot/3D, Optimizer.cc:1352
+    # fp32-adjusted Huber delta for SE(3) chain edges (odo/smooth): the
+    # reference computes chi2 in double where a consistent odometry edge
+    # sits at ~1e-15 (full-weight inlier); fp32 rounding noise puts the
+    # same edge above 1e-4^2 and would spuriously collapse its information
+    # ~1000x (see factor_graph.LMParams.pose_huber_delta).
+    pose_huber_delta: float = 1e-3
     track_len_thres: int = 3           # FeaLengthThresSta/Dyn (Optimizer.cc:74,85)
     robust_kernel: bool = True
     smooth_constraint: bool = True
