@@ -131,6 +131,27 @@ class TestArtifacts:
         lines = (tmp_path / "initial_stereo_new.txt").read_text().splitlines()
         assert len(lines) == sysm.map.num_frames
         assert len(lines[0].split()) == 17  # id + 4x4 flattened
+        # per-object tracking counts (GetObjTrackTime, Tracking.cc:2423-2495)
+        ott = (tmp_path / "obj_track_time.txt").read_text().splitlines()
+        assert ott[0].startswith("#")
+        assert all(len(r.split()) == 4 for r in ott[1:])
+
+    def test_save_results_writes_g2o_after_full_ba(self, tracked_session,
+                                                   tmp_path):
+        """The optimized full graph must land in the results dir as
+        dynamic_slam_graph_after_opt.g2o (Optimizer.cc:1935-1936)."""
+        import copy
+
+        from vdo_slam_tpu.backend.full_ba import full_ba_inplace
+        from vdo_slam_tpu.eval.results import save_results
+
+        m = copy.deepcopy(tracked_session["sysm"].map)
+        full_ba_inplace(m, tracked_session["cfg"], iters=3)
+        save_results(m, tmp_path)
+        g2o = tmp_path / "dynamic_slam_graph_after_opt.g2o"
+        assert g2o.exists()
+        text = g2o.read_text()
+        assert "VERTEX_SE3:QUAT" in text and "EDGE_SE3_TRACKXYZ" in text
 
     def test_timing_summary(self, ran_system):
         sysm, _, _ = ran_system

@@ -65,8 +65,9 @@ def _box_count(mask: np.ndarray, k: int) -> np.ndarray:
     """Count of True values in each k x k window (zero-padded), via an
     integral image — O(HW) regardless of k."""
     h, w = mask.shape
-    lo = -(k // 2)           # window covers [lo, lo+k) relative offsets,
-    hi = lo + k              # centered like MATLAB's strel for odd/even k
+    lo = -((k - 1) // 2)     # window covers [lo, lo+k) relative offsets;
+    hi = lo + k              # MATLAB strel centers even kernels at
+                             # floor((k+1)/2), i.e. offsets [-(k/2-1), k/2]
     ii = np.zeros((h + 1, w + 1), dtype=np.int64)
     ii[1:, 1:] = np.cumsum(np.cumsum(mask.astype(np.int64), axis=0), axis=1)
     y0 = np.clip(np.arange(h) + lo, 0, h)

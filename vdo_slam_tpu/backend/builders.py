@@ -331,8 +331,16 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     # ---- motion vertices: one per (frame f>=1, object j>=1), init identity
     # (Optimizer.cc:1575-1582) + smoothness to the previous frame's vertex of
     # the same label (1593-1623) + optional altitude prior
-    L_SPACE = 1 << 16  # motion labels are small ints
-    mot_lookup = np.full((max(len(m.rigid_motion), 1), L_SPACE), -1, np.int64)
+    # label axis sized to the data (labels are small ints, but a dense 2^16
+    # axis cost ~50 MB of 1-core host time per build and silently dropped
+    # labels above it); int32 halves the table again
+    max_label = 0
+    for fp in range(len(m.rigid_motion)):
+        labels = m.rm_label[fp]
+        if len(labels) > 1:
+            max_label = max(max_label, int(max(labels[1:])))
+    L_SPACE = max_label + 1 if max_label > 0 else 1
+    mot_lookup = np.full((max(len(m.rigid_motion), 1), L_SPACE), -1, np.int32)
     motion_slots = []
     motion_of = {}
     for fp in range(len(m.rigid_motion)):        # fp = frame pair (fp -> fp+1)
@@ -369,7 +377,10 @@ def build_full_graph(m: MapState, cfg: VDOConfig):
     if d_tid.size:
         is_first[1:] = d_tid[1:] != d_tid[:-1]
     # the motion vertex for the (f-1 -> f) transition; first obs needs none
-    safe_obj = np.clip(d_obj, 0, L_SPACE - 1)
+    # labels beyond the table map to column 0 (the camera slot, never
+    # written -> -1 -> the observation is skipped like any other with no
+    # motion vertex, the reference's semantics at Optimizer.cc:1786-1789)
+    safe_obj = np.where(d_obj < L_SPACE, d_obj, 0) if d_tid.size else d_obj
     mid = np.where(
         is_first, -1,
         mot_lookup[np.maximum(d_frm - 1, 0), safe_obj] if d_tid.size else 0,

@@ -65,6 +65,7 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
     )
+    graph_host = graph  # numpy copy kept for the g2o dump
     # one upload for all chunks (numpy args re-transfer per call otherwise)
     graph = jax.device_put(graph)
     v0 = jax.device_put(v0)
@@ -98,6 +99,15 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
     for f in range(m.num_frames):
         m.dyn_3d[f] = big[f]
     t_wb = time.perf_counter() - t0
+    # stash the optimized graph so save_results can write the reference's
+    # dynamic_slam_graph_after_opt.g2o (Optimizer.cc:1935-1936)
+    m.g2o_dump = {
+        "graph": graph_host,
+        "v": Variables(poses=poses, motions=motions, points=points),
+        "n_poses": m.num_frames,
+        "n_motions": meta.n_motions,
+        "n_points": meta.n_static_points + int(meta.dyn_obs[0].size),
+    }
     # per-edge-type chi2 + inlier breakdown (Optimizer.cc:1938-2091 analog)
     stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {

@@ -12,7 +12,7 @@ from pathlib import Path
 import numpy as np
 
 from ..pipeline.map_state import MapState
-from .results import _inv
+from .results import _inv, _stable_angle_deg
 
 
 def _pose_errors(m: MapState, refined: bool):
@@ -25,9 +25,9 @@ def _pose_errors(m: MapState, refined: bool):
                @ gt[i - 1].astype(np.float64)
                @ np.linalg.inv(gt[i].astype(np.float64)))
         t_err.append(float(np.linalg.norm(ate[:3, 3])))
-        diag = np.diag(ate)[:3]
-        tr_c = float(np.sum(np.where(diag > 1.0, 2.0 - diag, diag)))
-        r_err.append(float(np.degrees(np.arccos(np.clip((tr_c - 1) / 2, -1, 1)))))
+        # stable extraction (atan2 of skew vs trace): plain acos((tr-1)/2)
+        # shows a 0.02-0.04 deg phantom floor on f32-stored chains (DESIGN §8)
+        r_err.append(_stable_angle_deg(ate))
     return t_err, r_err
 
 
@@ -44,11 +44,7 @@ def _object_errors(m: MapState, refined: bool):
             err = _inv(body) @ m.rigid_motion_gt[f][j]
             lab = m.rm_label[f][j]
             curves_t.setdefault(lab, []).append(float(np.linalg.norm(err[:3, 3])))
-            diag = np.diag(err)[:3]
-            tr_c = float(np.sum(np.where(diag > 1.0, 2.0 - diag, diag)))
-            curves_r.setdefault(lab, []).append(
-                float(np.degrees(np.arccos(np.clip((tr_c - 1) / 2, -1, 1))))
-            )
+            curves_r.setdefault(lab, []).append(_stable_angle_deg(err))
     return curves_t, curves_r
 
 

@@ -87,6 +87,31 @@ def save_results(m: MapState, out_dir: str | Path) -> None:
             "\n".join(str(h) for h in hist_d[2:] if h) + "\n"
         )
 
+    # --- per-object tracking counts (GetObjTrackTime, Tracking.cc:2423-2495)
+    if m.rm_label:
+        from ..pipeline.map_state import object_track_time
+
+        max_id = max((max(labs[1:]) + 1 for labs in m.rm_label
+                      if len(labs) > 1), default=1)
+        cnt, cnt_gt, sem = object_track_time(
+            m.rm_label, m.sem_label, m.sm_label_gt, max_id)
+        rows = [f"{i + 1} {sem[i]} {cnt[i]} {cnt_gt[i]}"
+                for i in range(len(cnt))]
+        (out / "obj_track_time.txt").write_text(
+            "# label semantic tracked_frames gt_frames\n"
+            + ("\n".join(rows) + "\n" if rows else ""))
+
+    # --- optimized full-batch graph (dynamic_slam_graph_after_opt.g2o,
+    # Optimizer.cc:1935-1936); present once full_ba_inplace has run
+    if m.g2o_dump is not None:
+        from ..backend.g2o_io import save_g2o
+
+        d = m.g2o_dump
+        save_g2o(d["graph"], d["v"],
+                 out / "dynamic_slam_graph_after_opt.g2o",
+                 n_poses=d["n_poses"], n_motions=d["n_motions"],
+                 n_points=d["n_points"])
+
 
 def timing_summary(m: MapState) -> dict:
     """Average per-stage times (System.cc:204-237)."""

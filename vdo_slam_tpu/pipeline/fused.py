@@ -144,6 +144,7 @@ class FusedTracker:
         self._last_T_wc_gt = np.eye(4, dtype=np.float32)
         self.local_ba_hook = None
         self._ba_thread: threading.Thread | None = None
+        self.ba_failures = 0  # background window solves that raised
 
     def _gt_pose(self, raw):
         if self.origin_inv is None:
@@ -202,6 +203,8 @@ class FusedTracker:
             "n_objects": int(hm["n_objects"]),
             "wall_time": time.perf_counter() - t0_p,
         }
+        if self.ba_failures:
+            rep["ba_failures"] = self.ba_failures
         # windowed BA trigger on the ARCHIVED frame (Tracking.cc:1168-1183).
         # Runs on a background thread with the window end PINNED to the
         # current archive length: tracking keeps appending (and the fused
@@ -217,8 +220,16 @@ class FusedTracker:
 
             def run_ba():
                 t5 = time.perf_counter()
-                self.local_ba_hook(self.map, n_frames)
-                self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+                try:
+                    self.local_ba_hook(self.map, n_frames)
+                    self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+                except Exception:
+                    # a lost window solve degrades refinement quality only;
+                    # surface it instead of dying silently on the daemon
+                    import traceback
+
+                    traceback.print_exc()
+                    self.ba_failures += 1
 
             self._ba_thread = threading.Thread(target=run_ba, daemon=True)
             self._ba_thread.start()
@@ -237,12 +248,12 @@ class FusedTracker:
         """Archive the previous CHUNK's (async-copied) outputs, per frame."""
         if self._pending_chunk is None:
             return []
-        fds, gts, fid0, vecs, t0_p = self._pending_chunk
+        fds, gts, fid0, vecs, t0_p, n_real = self._pending_chunk
         self._pending_chunk = None
         vecs_np = np.asarray(vecs)              # (C, n) — copy in flight
         return [
             self._finish_frame(fds[c], gts[c], fid0 + c, vecs_np[c], t0_p)
-            for c in range(len(fds))
+            for c in range(n_real)
         ]
 
     def _join_ba(self):
@@ -300,23 +311,35 @@ class FusedTracker:
         return staged
 
     def grab_chunk(self, fds, staged: dict | None = None,
-                   prefetch_cb=None) -> list[dict]:
+                   prefetch_cb=None, n_real: int | None = None) -> list[dict]:
         """Pipelined processing of len(fds) == chunk frames in ONE device
         call; returns the PREVIOUS chunk's per-frame reports (see
-        grab_frame).  Call flush() for the final chunk."""
+        grab_frame).  Call flush() for the final chunk.
+
+        n_real < chunk marks a PADDED tail chunk (trailing entries repeat
+        the last real frame so the sequence tail reuses the warm chunk
+        executable instead of compiling a single-frame program mid-run);
+        only the first n_real frames are archived/reported."""
         assert len(fds) == self.chunk, (len(fds), self.chunk)
+        if n_real is None:
+            n_real = self.chunk
         t0 = time.perf_counter()
         inputs = dict(staged) if staged is not None \
             else dict(self.device_inputs_chunk(fds))
         gts = inputs.pop("_T_cw_gt_host")
         k0 = self.frame_id % self.MAX_FRAMES
-        keys = self._keys[k0:k0 + self.chunk]
+        # wrap-safe slice: a chunk size that doesn't divide MAX_FRAMES would
+        # otherwise produce a short key slice at the ring boundary and fail
+        # the jitted scan with a shape mismatch
+        keys = self._keys.take(range(k0, k0 + self.chunk), axis=0,
+                               mode="wrap")
         self.state, vecs = self.step_chunk(self.state, inputs, keys)
         prefetched = prefetch_cb() if prefetch_cb is not None else None
         self._prefetched = prefetched
         vecs.copy_to_host_async()
         reps = self._drain_pending_chunk()
-        self._pending_chunk = (list(fds), gts, self.frame_id, vecs, t0)
+        self._pending_chunk = (list(fds), gts, self.frame_id, vecs, t0,
+                               n_real)
         self.frame_id += self.chunk
         return reps
 

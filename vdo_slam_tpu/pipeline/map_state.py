@@ -61,6 +61,9 @@ class MapState:
     tracklets_static: list | None = None
     tracklets_dynamic: list | None = None
     tracklet_obj_id: list | None = None
+    # full-BA graph snapshot for the g2o dump (Optimizer.cc:1935-1936):
+    # set by full_ba_inplace, written by save_results
+    g2o_dump: dict | None = None
 
     @property
     def num_frames(self) -> int:

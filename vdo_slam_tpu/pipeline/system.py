@@ -113,11 +113,19 @@ class System:
                         fds = nxt[0]
                         if staged is None or fds is None or len(fds) < C:
                             break
-                    # ordered drain before any tail singles
+                    # ordered drain before the tail
                     for rep in self.tracker._drain_pending_chunk():
                         _show(rep)
-                    for fd in (fds or []):
-                        _show(self.tracker.grab_frame(fd))
+                    # tail frames (n % C != 0) run as ONE padded chunk that
+                    # repeats the last frame: reuses the warm chunk
+                    # executable instead of compiling the single-frame
+                    # program mid-run (5-400 s on the remote worker)
+                    if fds:
+                        pad = list(fds) + [fds[-1]] * (C - len(fds))
+                        tail_staged = self.tracker.device_inputs_chunk(pad)
+                        for rep in self.tracker.grab_chunk(
+                                pad, tail_staged, n_real=len(fds)):
+                            _show(rep)
                 finally:
                     pf.close()
                 final = self.tracker.flush()
