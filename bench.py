@@ -41,7 +41,6 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     vmapped per-object LM, renewal) is batched over streams, so fixed
     per-call overhead (dispatch + tunnel round-trip) amortizes S-fold.
     """
-    np.seterr(all="ignore")
     import pickle
     from pathlib import Path
 
@@ -143,7 +142,6 @@ def jnp_stack(xs):
 
 
 def main():
-    np.seterr(all="ignore")
     import jax
 
     # persistent compilation cache: first-ever run compiles (~10 min over the

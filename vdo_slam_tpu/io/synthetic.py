@@ -254,8 +254,11 @@ def make_scene(
             n = np.cross(p.eu, p.ev)
             denom = rays_w @ n
             num = (p.origin - cam_origin_w) @ n
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = num / denom  # ray parameter
+            # rays parallel to the plane (denom ~ 0) can't hit it: give them
+            # s = -1 so the `s > 0.1` hit test rejects them with finite math
+            # (num/denom would spray inf/nan through every op downstream)
+            safe_denom = np.where(np.abs(denom) < 1e-12, 1.0, denom)
+            s = np.where(np.abs(denom) < 1e-12, -1.0, num / safe_denom)
             X = cam_origin_w + s[..., None] * rays_w
             rel = X - p.origin
             # patch coordinates via normal equations
@@ -291,7 +294,10 @@ def make_scene(
         # forward flow to frame f+1: re-project each pixel's 3D point
         if f + 1 < num_frames:
             Twc = T_wc[f]
-            X_cam = rays_cam * zbuf[..., None]
+            # sky pixels carry zbuf = inf; zero them (they're masked out of
+            # the flow below via `valid`) so the matmuls stay finite
+            z_safe = np.where(valid, zbuf, 0.0)
+            X_cam = rays_cam * z_safe[..., None]
             X_w = X_cam @ Twc[:3, :3].T + Twc[:3, 3]
             # move object points by their world motion H(f+1)
             X_w_next = X_w.copy()
@@ -301,16 +307,17 @@ def make_scene(
                 X_w_next[m] = X_w[m] @ H[:3, :3].T + H[:3, 3]
             Tcw_next = _inv(T_wc[f + 1])
             X_c2 = X_w_next @ Tcw_next[:3, :3].T + Tcw_next[:3, 3]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                x2n = X_c2[..., 0] / X_c2[..., 2]
-                y2n = X_c2[..., 1] / X_c2[..., 2]
-                if distorted:
-                    # flow lives in raw (distorted) pixel space
-                    x2n, y2n = _distort_norm_np(x2n, y2n, dist)
-                u2 = fx * x2n + cx
-                v2 = fy * y2n + cy
-            fu = np.where(valid & (X_c2[..., 2] > 0.1), u2 - xs, 0.0)
-            fv = np.where(valid & (X_c2[..., 2] > 0.1), v2 - ys, 0.0)
+            z2_ok = X_c2[..., 2] > 0.1
+            z2 = np.where(z2_ok, X_c2[..., 2], 1.0)  # behind-camera pixels
+            x2n = X_c2[..., 0] / z2                  # are masked out below
+            y2n = X_c2[..., 1] / z2
+            if distorted:
+                # flow lives in raw (distorted) pixel space
+                x2n, y2n = _distort_norm_np(x2n, y2n, dist)
+            u2 = fx * x2n + cx
+            v2 = fy * y2n + cy
+            fu = np.where(valid & z2_ok, u2 - xs, 0.0)
+            fv = np.where(valid & z2_ok, v2 - ys, 0.0)
             # the reference treats exactly-zero flow as invalid (Frame.cc:119)
             fu = np.where((fu == 0.0) & (fv == 0.0), 1e-4, fu)
             flow[f] = np.stack([fu, fv], axis=-1).astype(np.float32)
