@@ -754,15 +754,27 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
 # mesh-sharded solve: edges sharded over chips, reductions ride ICI psum
 # --------------------------------------------------------------------------
 
-def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
-                     axis: str = "ba"):
-    """Run lm_solve with edge arrays sharded over a mesh axis.
+def _pad_edges_for_mesh(g: Graph, n_dev: int) -> Graph:
+    """Pad every edge array to a multiple of n_dev (zero weights ⇒ the pad
+    edges contribute nothing; 4x4 measurement pads are identity so the SE(3)
+    log stays finite)."""
+    def pad_to(x, n):
+        padded = jnp.zeros((n,) + x.shape[1:], x.dtype)
+        if x.dtype == jnp.float32 and x.ndim == 3:  # 4x4 measurement pads
+            padded = jnp.broadcast_to(jnp.eye(4, dtype=x.dtype),
+                                      (n,) + x.shape[1:]).copy()
+        return jax.lax.dynamic_update_slice(
+            padded, x, (0,) * x.ndim
+        )
 
-    Variables are replicated; every JᵀWJ product / gradient / preconditioner
-    block is computed from the local edge shard and psum'd (the ICI-sharded
-    BA reduction of SURVEY.md §5.8).  Results are identical to the
-    single-device solve up to summation order.
-    """
+    return jax.tree.map(
+        lambda x: pad_to(x, -(-x.shape[0] // n_dev) * n_dev), g
+    )
+
+
+def _sharded_lm_fn(p: LMParams, mesh, axis: str):
+    """shard_map-wrapped lm_solve: edges sharded over `axis`, variables
+    replicated, JᵀWJ/gradient/preconditioner reductions psum'd."""
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -782,25 +794,68 @@ def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
                            "lam": P(), "stats0": stat_spec,
                            "stats": stat_spec})
 
-    def pad_to(x, n):
-        padded = jnp.zeros((n,) + x.shape[1:], x.dtype)
-        if x.dtype == jnp.float32 and x.ndim == 3:  # 4x4 measurement pads
-            padded = jnp.broadcast_to(jnp.eye(4, dtype=x.dtype),
-                                      (n,) + x.shape[1:]).copy()
-        return jax.lax.dynamic_update_slice(
-            padded, x, (0,) * x.ndim
-        )
+    def solve(g, v, lam):
+        return lm_solve(g, v, p_sh, lam0=lam)
 
-    n_dev = mesh.shape[axis]
-    g = jax.tree.map(
-        lambda x: pad_to(x, -(-x.shape[0] // n_dev) * n_dev), g
-    )
-
-    fn = shard_map(
-        functools.partial(lm_solve, p=p_sh),
+    return shard_map(
+        solve,
         mesh=mesh,
-        in_specs=(edge_spec, var_spec),
+        in_specs=(edge_spec, var_spec, P()),
         out_specs=out_spec,
         check_rep=False,
     )
-    return fn(g, v0)
+
+
+def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,
+                     axis: str = "ba", lam0=None):
+    """Run lm_solve with edge arrays sharded over a mesh axis.
+
+    Variables are replicated; every JᵀWJ product / gradient / preconditioner
+    block is computed from the local edge shard and psum'd (the ICI-sharded
+    BA reduction of SURVEY.md §5.8).  Results are identical to the
+    single-device solve up to summation order.
+    """
+    g = _pad_edges_for_mesh(g, mesh.shape[axis])
+    lam = jnp.asarray(p.lambda_init if lam0 is None else lam0, jnp.float32)
+    return _sharded_lm_fn(p, mesh, axis)(g, v0, lam)
+
+
+def lm_solve_sharded_chunked(g: Graph, v0: Variables, p: LMParams, mesh,
+                             axis: str = "ba", chunk: int = 3,
+                             callback=None):
+    """lm_solve_chunked over the mesh-sharded solve: p.iters LM iterations
+    as ceil(iters/chunk) device executions with damping carried across
+    chunks (the remote worker kills single programs over ~60-90 s; the
+    sharded full-batch graph needs the same chunking as the single-device
+    path).  Edges are padded/sharded ONCE, not per chunk."""
+    import math
+
+    g = _pad_edges_for_mesh(g, mesh.shape[axis])
+    p_chunk = dataclasses.replace(p, iters=chunk)
+    fn = _sharded_lm_fn(p_chunk, mesh, axis)
+    v = v0
+    lam = jnp.asarray(p.lambda_init, jnp.float32)
+    info = {}
+    total = 0
+    cost0 = None
+    stats0 = None
+    for i in range(math.ceil(p.iters / chunk)):
+        v, info = fn(g, v, lam)
+        lam = info["lam"]
+        total += chunk
+        if cost0 is None:
+            cost0 = float(info["cost0"])
+            stats0 = info["stats0"]
+        if callback is not None:
+            callback(i, info)
+        if p.gain_eps > 0:
+            gain = (float(info["cost0"]) - float(info["cost"])) / max(
+                float(info["cost0"]), 1e-20
+            )
+            if gain < p.gain_eps:
+                break
+    info = dict(info)
+    info["cost0"] = cost0
+    info["stats0"] = stats0
+    info["iters_run"] = total
+    return v, info

@@ -19,7 +19,8 @@ import numpy as np
 from ..config import VDOConfig
 from ..pipeline.map_state import MapState
 from .builders import build_full_graph, empty_full_graph
-from .factor_graph import LMParams, Variables, lm_solve, lm_solve_chunked
+from .factor_graph import (LMParams, Variables, lm_solve, lm_solve_chunked,
+                           lm_solve_sharded_chunked)
 
 # LM iterations per device call: the remote worker kills single programs
 # that run longer than ~60-90 s.  At ~0.5 s per warm LM iteration on the
@@ -66,16 +67,30 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         points=np.asarray(v0.points),
     )
     graph_host = graph  # numpy copy kept for the g2o dump
-    # one upload for all chunks (numpy args re-transfer per call otherwise)
-    graph = jax.device_put(graph)
-    v0 = jax.device_put(v0)
+    # multi-chip: shard the edge arrays over all attached devices and psum
+    # the JᵀWJ reductions over ICI (SURVEY §5.8); single chip runs the plain
+    # chunked solve.  Both paths chunk iterations identically (the remote
+    # worker kills single programs over ~60-90 s).
+    devices = jax.devices()
+    sharded = len(devices) > 1
+    if not sharded:
+        # one upload for all chunks (numpy args re-transfer per call
+        # otherwise); the sharded path pads first, then shards internally
+        graph = jax.device_put(graph)
+        v0 = jax.device_put(v0)
     t_build = time.perf_counter() - t0
     # chunked execution: long programs can exceed remote-worker time limits
     t0 = time.perf_counter()
     chunk_times = []
-    v, info = lm_solve_chunked(
-        graph, v0, p, chunk=FULL_BA_CHUNK,
-        callback=lambda i, _: chunk_times.append(time.perf_counter()))
+    if sharded:
+        mesh = jax.sharding.Mesh(np.asarray(devices), ("ba",))
+        v, info = lm_solve_sharded_chunked(
+            graph, v0, p, mesh, chunk=FULL_BA_CHUNK,
+            callback=lambda i, _: chunk_times.append(time.perf_counter()))
+    else:
+        v, info = lm_solve_chunked(
+            graph, v0, p, chunk=FULL_BA_CHUNK,
+            callback=lambda i, _: chunk_times.append(time.perf_counter()))
     poses = np.asarray(v.poses)
     motions = np.asarray(v.motions)
     points = np.asarray(v.points)
