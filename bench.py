@@ -231,6 +231,18 @@ def main():
     log(f"full-BA warmup: total {time.perf_counter() - warm_t0:.1f}s "
         f"({time.perf_counter() - t0:.1f}s past tracking warmup)")
 
+    # per-stage device-time split (the reference's 5-span harness) — the
+    # fused chunk step is one executable, so the split is measured by a
+    # stage-by-stage probe on real state/inputs, off the timed region
+    t0 = time.perf_counter()
+    try:
+        stage_ms = sysm.tracker.calibrate_stage_times(ds[WARMUP_FRAMES])
+        log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
+            f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
+            + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
+    except Exception as e:  # probe failure must not kill the bench
+        log(f"stage probe FAILED after {time.perf_counter() - t0:.1f}s: {e}")
+
     # ---- timed run (staged-input pipeline)
     class _Tail:
         def __init__(self, base, start):

@@ -140,3 +140,41 @@ class TestFusedSystem:
         rep2 = sysm2.metrics()
         assert abs(rep2["cam_t_rpe"] - rep["cam_t_rpe"]) < 1e-4
         assert rep2["n_obj_estimates"] == rep["n_obj_estimates"]
+
+
+class TestStageProbe:
+    @pytest.mark.slow  # compiles 7 separate stage programs (~80 s CPU)
+    def test_calibrate_stage_times_fills_timings(self):
+        """The fused path must produce the reference's 5-span stage timing
+        (Map.h:83-84, System.cc:204-237) via the stage probe: non-zero
+        measured ms archived for every frame, past and future."""
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.io.dataset import SyntheticDataset
+        from vdo_slam_tpu.io.synthetic import make_scene
+        from vdo_slam_tpu.pipeline import System
+
+        scene = make_scene(num_frames=4, width=320, height=240,
+                           num_objects=2, seed=3)
+        cfg = small_config(scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="fused")
+        sysm.run_sequence(ds, max_frames=3)
+        times = sysm.tracker.calibrate_stage_times(ds[3], rounds=1)
+        assert times.pop("_rtt_ms") >= 0.0
+        assert set(times) == {"mask_update", "camera_est", "obj_track",
+                              "obj_est", "map_update"}
+        assert sum(times.values()) > 0.0, times
+        # every archived frame (incl. ones archived before calibration)
+        # carries the measured split
+        rep = sysm.track_rgbd(ds[3])
+        sysm.tracker.flush()
+        arr = np.stack(sysm.map.timings)
+        assert arr.shape[1] == 5
+        assert (arr.sum(axis=1) > 0).all()
+        from vdo_slam_tpu.eval.results import timing_summary
+
+        summary = timing_summary(sysm.map)
+        assert summary["camera_est_ms"] >= 0.0
+        assert sum(v for k, v in summary.items()
+                   if k.endswith("_ms") and k != "local_ba_ms") > 0.0

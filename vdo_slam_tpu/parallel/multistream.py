@@ -202,6 +202,104 @@ def _unjit(fn):
     return inner if inner is not None else fn
 
 
+def make_stage_probe(cfg: VDOConfig):
+    """Per-stage device-time probe for the fused path — the reference's
+    5-span timing harness (Map.h:83-84, System.cc:204-237) where the
+    production step is ONE fused executable that can't be timed from inside.
+
+    Runs the SAME stage bodies as separate jitted programs on real tracker
+    state + frame tensors, with a blocking device sync after each span, and
+    nets out the measured per-call dispatch/tunnel overhead.  Bucket map
+    (reference span -> fused stages):
+      mask_update  -> prepare (depth preprocess, detection, candidates)
+                      + inheritance (Tracking.cc:180-244, 2997-3241)
+      camera_est   -> camera RANSAC + flow-LM (Tracking.cc:683-713)
+      obj_track    -> scene flow + dynamic classifier (Tracking.cc:754-761)
+      obj_est      -> vmapped per-object motion LM (Tracking.cc:868-1001)
+      map_update   -> static + dynamic feature renewal (Tracking.cc:1017)
+
+    Returns probe(state, inputs, key) -> (times_ms dict, rtt_ms).  Call it
+    twice: the first run compiles each stage, the second measures warm.
+    Sum(times) exceeds the fused per-frame device time — XLA fuses across
+    stage boundaries in the production program — so these are upper-bound
+    per-stage device times, honest but not additive."""
+    import time as _time
+
+    import numpy as _np
+
+    tr = cfg.tracking
+    prep_fn = stages.make_prepare(cfg, use_pallas=None)
+    inherit_fn = stages.make_inherit(cfg)
+    camera_fn = stages.make_camera_stage(cfg)
+    sflow_fn = stages.make_scene_flow(cfg)
+    objects_fn = stages.make_objects_stage(cfg)
+    renew_s_fn, renew_d_fn = stages.make_renew_stage(cfg)
+    classify_fn = jax.jit(stages.make_device_classifier(cfg))
+
+    def probe(state, inputs, key):
+        last: FrameState = state["frame"]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        times: dict[str, float] = {}
+        calls: dict[str, int] = {}
+
+        def sync(tree):
+            # device_get of one leaf forces completion (block_until_ready
+            # does not reliably sync on the axon tunnel)
+            _np.asarray(jax.device_get(jax.tree.leaves(tree)[0]))
+
+        def timed(name, fn, *args):
+            t0 = _time.perf_counter()
+            out = fn(*args)
+            sync(out)
+            times[name] = times.get(name, 0.0) + (
+                _time.perf_counter() - t0) * 1e3
+            calls[name] = calls.get(name, 0) + 1
+            return out
+
+        # per-call overhead baseline (dispatch + tunnel round-trip): the
+        # production step pays it once, the probe pays it per stage
+        t0 = _time.perf_counter()
+        sync(jnp.zeros(()) + 1.0)
+        rtt = (_time.perf_counter() - t0) * 1e3
+
+        prep = timed("mask_update", prep_fn, inputs["rgb"],
+                     inputs["depth_raw"], inputs["flow"], inputs["seg"], k1)
+        depth, seg = prep["depth"], inputs["seg"]
+        stat_cur, dyn_cur = timed("mask_update", inherit_fn, last.static,
+                                  last.dynamic, depth, seg)
+        cam_out = timed("camera_est", camera_fn, last.static, stat_cur["xy"],
+                        stat_cur["depth"], last.T_cw, last.velocity,
+                        inputs["T_cw_gt"], last.T_cw_gt, k2)
+        T_cw = cam_out["T_cw"]
+        sf = timed("obj_track", sflow_fn, last.dynamic, dyn_cur["xy"],
+                   dyn_cur["depth"], dyn_cur["sem_label"], last.T_cw, T_cw)
+        cls = timed("obj_track", classify_fn, dyn_cur["sem_label"],
+                    dyn_cur["valid"] & sf["sem_ok"], sf["sf_norm"],
+                    dyn_cur["depth"], dyn_cur["xy"], last.dynamic.sem_label,
+                    state["slot_sem"], state["slot_model"], state["slot_H"],
+                    state["slot_active"], state["max_id"])
+        obj_out = timed("obj_est", objects_fn, last.dynamic, dyn_cur["xy"],
+                        dyn_cur["depth"], dyn_cur["sem_label"],
+                        cls["slot_sem"], cls["slot_active"],
+                        cls["slot_has_mm"], cls["slot_H_prev"],
+                        cls["member_ok"], last.T_cw, T_cw, k3)
+        ok_slot = cls["slot_active"] & (
+            obj_out["n_init"] >= tr.min_init_inliers)
+        timed("map_update", renew_s_fn, cam_out["uv_cur"], cam_out["inlier"],
+              prep["det_xy"], prep["det_valid"], prep["det_score"], depth,
+              inputs["flow"], seg, T_cw)
+        carry_dyn = (cls["obj_label"] > 0) & jnp.any(obj_out["inlier"],
+                                                     axis=0)
+        timed("map_update", renew_d_fn, obj_out["uv_cur"], cls["obj_label"],
+              carry_dyn, prep["obj_cand"], cls["slot_sem"],
+              cls["slot_model"], ok_slot, depth, inputs["flow"], seg, T_cw,
+              k4)
+        net = {k: max(v - rtt * calls[k], 0.0) for k, v in times.items()}
+        return net, rtt
+
+    return probe
+
+
 def make_multistream_step(cfg: VDOConfig, mesh: Mesh, axis: str = "stream"):
     """Vmapped + sharded multi-stream step.
 

@@ -145,6 +145,11 @@ class FusedTracker:
         self.local_ba_hook = None
         self._ba_thread: threading.Thread | None = None
         self.ba_failures = 0  # background window solves that raised
+        # per-frame stage-time estimate archived with every frame: zeros
+        # until calibrate_stage_times() measures the real split (the fused
+        # step is one executable; spans can't be timed inside it)
+        self._stage_ms = np.zeros(5, np.float32)
+        self._probe_rtt_ms = 0.0
 
     def _gt_pose(self, raw):
         if self.origin_inv is None:
@@ -183,6 +188,44 @@ class FusedTracker:
         })
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
+
+    def calibrate_stage_times(self, fd: FrameData, rounds: int = 2) -> dict:
+        """Measure the reference's 5-span per-stage split (Map.h:83-84,
+        System.cc:204-237) on the fused path.
+
+        Runs the SAME stage bodies as separate jitted programs on the
+        current tracker state + this frame's tensors with a blocking sync
+        after each (parallel.multistream.make_stage_probe).  The production
+        chunk step is one fused executable, so spans can't be timed inside
+        it — run this OFF the critical path (e.g. right after warmup) and
+        the measured ms are archived with every frame, past and future.
+        First round compiles the stage programs; the last round's warm
+        times win.  Returns {stage: ms} plus the netted-out per-call
+        overhead under key "_rtt_ms"."""
+        from ..io.packing import depth_wire_scale, unpack_frame
+        from ..parallel.multistream import make_stage_probe
+
+        staged = self.device_inputs(fd)
+        gray, depth_raw, flow, seg = unpack_frame(
+            staged["packed"],
+            depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor))
+        inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
+                  "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
+        probe = make_stage_probe(self.cfg)
+        key = jnp.asarray(self._keys[self.frame_id % self.MAX_FRAMES])
+        times, rtt = {}, 0.0
+        for _ in range(max(rounds, 1)):
+            times, rtt = probe(self.state, inputs, key)
+        order = ("mask_update", "camera_est", "obj_track", "obj_est",
+                 "map_update")
+        self._stage_ms = np.asarray([times[k] for k in order], np.float32)
+        self._probe_rtt_ms = rtt
+        # backfill frames archived before calibration (they carried zeros)
+        for i in range(len(self.map.timings)):
+            self.map.timings[i] = self._stage_ms.copy()
+        out = dict(times)
+        out["_rtt_ms"] = rtt
+        return out
 
     def _finish_frame(self, fd_p, T_cw_gt_p, fid_p, vec_np, t0_p):
         """Archive one frame's unpacked outputs + fire the window-BA trigger."""
@@ -371,7 +414,7 @@ class FusedTracker:
         m.cam_pose.append(T_wc)
         m.cam_pose_rf.append(T_wc.copy())
         m.cam_pose_gt.append(_np_inv(np.asarray(T_cw_gt)))
-        m.timings.append(np.zeros(5, np.float32))
+        m.timings.append(self._stage_ms.copy())
 
         if self.frame_id == 0:
             self._last_obj_rows = fd.obj_gt_rows
