@@ -141,7 +141,7 @@ def jnp_stack(xs):
     return jnp.stack(xs)
 
 
-def main():
+def main(hard: bool = False):
     import jax
 
     # persistent compilation cache: first-ever run compiles (~10 min over the
@@ -151,7 +151,7 @@ def main():
 
     from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
     from vdo_slam_tpu.io.dataset import SyntheticDataset
-    from vdo_slam_tpu.io.synthetic import make_scene
+    from vdo_slam_tpu.io.synthetic import degrade_scene, make_scene
     from vdo_slam_tpu.pipeline import System
 
     log(f"devices: {jax.devices()}")
@@ -170,6 +170,20 @@ def main():
             fx=721.5377, seed=7,
         )
         cache.write_bytes(pickle.dumps(scene))
+    if hard:
+        # --hard: the learned-flow + Mask-R-CNN noise regime the reference
+        # was tuned for (tests/test_degradation.py): accuracy under
+        # degradation, same shapes/executables as the clean bench
+        hcache = Path(f"/tmp/vdo_bench_scene_{N_FRAMES}_hard.pkl")
+        if hcache.exists():
+            scene = pickle.loads(hcache.read_bytes())
+        else:
+            scene = degrade_scene(
+                scene, flow_noise_px=0.75, flow_outlier_frac=0.01,
+                mask_erode_px=1, mask_jitter_px=1, seed=13)
+            hcache.write_bytes(pickle.dumps(scene))
+        log("HARD mode: flow sigma=0.75px + 1% outliers, mask erode 1px + "
+            "jitter 1px")
     log(f"scene ready in {time.perf_counter() - t0:.1f}s")
 
     cfg = VDOConfig()
@@ -290,7 +304,8 @@ def main():
     log(f"stage timing (ms): {timing}")
 
     print(json.dumps({
-        "metric": "kitti_synth_full_pipeline_fps",
+        "metric": ("kitti_synth_hard_fps" if hard
+                   else "kitti_synth_full_pipeline_fps"),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
@@ -301,4 +316,4 @@ if __name__ == "__main__":
     if "--streams" in sys.argv:
         bench_multistream(int(sys.argv[sys.argv.index("--streams") + 1]))
     else:
-        main()
+        main(hard="--hard" in sys.argv)

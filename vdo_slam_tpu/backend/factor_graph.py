@@ -776,7 +776,10 @@ def _sharded_lm_fn(p: LMParams, mesh, axis: str):
     """shard_map-wrapped lm_solve: edges sharded over `axis`, variables
     replicated, JᵀWJ/gradient/preconditioner reductions psum'd."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
 
     p_sh = dataclasses.replace(p, axis_name=axis)
     edge_spec = Graph(
@@ -797,13 +800,13 @@ def _sharded_lm_fn(p: LMParams, mesh, axis: str):
     def solve(g, v, lam):
         return lm_solve(g, v, p_sh, lam0=lam)
 
-    return shard_map(
-        solve,
-        mesh=mesh,
-        in_specs=(edge_spec, var_spec, P()),
-        out_specs=out_spec,
-        check_rep=False,
-    )
+    kw = dict(mesh=mesh, in_specs=(edge_spec, var_spec, P()),
+              out_specs=out_spec)
+    try:
+        # jax >= 0.8: replication checking is `check_vma`
+        return shard_map(solve, check_vma=False, **kw)
+    except TypeError:
+        return shard_map(solve, check_rep=False, **kw)
 
 
 def lm_solve_sharded(g: Graph, v0: Variables, p: LMParams, mesh,

@@ -123,6 +123,8 @@ def make_scene(
     obj_speed: float = 0.5,
     cam_yaw_rate: float = 0.004,
     dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0),
+    obj_spacing: float = 6.0,
+    obj_cross_frac: float = 0.0,
 ) -> SyntheticScene:
     """Build a KITTI-like forward-driving scene with moving planar objects.
 
@@ -168,7 +170,7 @@ def make_scene(
     for k in range(num_objects):
         side = -1.0 if k % 2 == 0 else 1.0
         x0 = side * rng.uniform(1.8, 3.2)
-        z0 = rng.uniform(10.0, 14.0) + 6.0 * k
+        z0 = rng.uniform(10.0, 14.0) + obj_spacing * k
         w_, h_ = rng.uniform(2.2, 3.0), rng.uniform(1.5, 2.0)
         # object local frame at its centre; patch defined in LOCAL coords
         obj_patches.append(
@@ -178,8 +180,16 @@ def make_scene(
         obj_T0.append(_pose([0.0, 0.0, 0.0], [x0, 0.9, z0]))
         fwd = obj_speed * rng.uniform(0.7, 1.3)
         yaw = rng.uniform(-0.01, 0.01)
+        vx = rng.uniform(-0.02, 0.02)
+        # crossing objects drift laterally toward the other side of the
+        # road, producing genuine occlusion crossings in the z-buffered
+        # render (the nearer object hides the farther one).  Guarded so the
+        # default path draws exactly the same RNG stream as before
+        # (fixture scenes and the cached bench scene stay bit-identical).
+        if obj_cross_frac > 0 and rng.uniform() < obj_cross_frac:
+            vx = -side * rng.uniform(0.08, 0.15)
         obj_vel.append((np.array([0.0, yaw, 0.0]),
-                        np.array([rng.uniform(-0.02, 0.02), 0.0, fwd])))
+                        np.array([vx, 0.0, fwd])))
 
     # --- camera trajectory: forward motion with gentle turning (linear yaw
     # rate plus a slow weave; bounded for arbitrarily long sequences)
@@ -332,4 +342,109 @@ def make_scene(
         obj_pose_gt=L.astype(np.float32),
         obj_labels=np.arange(1, num_objects + 1, dtype=np.int32),
         K_mat=K.astype(np.float32),
+    )
+
+def _erode_label_mask(mask: np.ndarray, k: int) -> np.ndarray:
+    """Erode every object label (>0) by k pixels: a pixel keeps its label
+    only if the whole (2k+1)^2 window shares it (becomes 0 otherwise) —
+    the under-segmentation a real instance-segmentation network produces
+    at object boundaries."""
+    if k <= 0:
+        return mask
+    out = mask.copy()
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = np.roll(np.roll(mask, dy, axis=0), dx, axis=1)
+            # roll wraps; wrapped rows/cols get label 0 (treated as border)
+            if dy > 0:
+                shifted[:dy] = 0
+            elif dy < 0:
+                shifted[dy:] = 0
+            if dx > 0:
+                shifted[:, :dx] = 0
+            elif dx < 0:
+                shifted[:, dx:] = 0
+            out = np.where((mask > 0) & (shifted != mask), 0, out)
+    return out
+
+
+def _jitter_label_mask(mask: np.ndarray, rng, j: int) -> np.ndarray:
+    """Shift each object's mask independently by up to ±j px (mask/image
+    misregistration).  Shifted pixels only land on background so object
+    identities never swap."""
+    if j <= 0:
+        return mask
+    out = np.where(mask > 0, 0, mask)
+    for lab in np.unique(mask):
+        if lab <= 0:
+            continue
+        dy = int(rng.integers(-j, j + 1))
+        dx = int(rng.integers(-j, j + 1))
+        region = np.roll(np.roll(mask == lab, dy, axis=0), dx, axis=1)
+        out = np.where(region & (out == 0), lab, out)
+    return out
+
+
+def degrade_scene(
+    scene: SyntheticScene,
+    *,
+    flow_noise_px: float = 0.0,
+    flow_outlier_frac: float = 0.0,
+    flow_outlier_px: float = 15.0,
+    mask_erode_px: int = 0,
+    mask_jitter_px: int = 0,
+    merge_labels: dict | None = None,
+    depth_noise_scale: float = 0.0,
+    seed: int = 0,
+) -> SyntheticScene:
+    """Corrupt a clean oracle scene's INPUTS while keeping its ground truth
+    exact — the noise regime of learned optical flow + Mask R-CNN masks the
+    reference's thresholds were tuned for (README.md:97-118; scene-flow and
+    size gates at Tracking.cc:1366-1612, depth gates at 2691/2849).
+
+    flow_noise_px      gaussian sigma added per flow component
+    flow_outlier_frac  fraction of pixels whose flow gets a uniform
+                       ±flow_outlier_px gross error (bad matches)
+    mask_erode_px      erode object labels by k px (under-segmentation)
+    mask_jitter_px     shift each object's mask by up to ±j px per frame
+    merge_labels       {src_label: dst_label} instance-merge failures
+    depth_noise_scale  sigma = scale * z^2 depth noise (the reference's own
+                       stereo-depth model, Frame.cc:489-493)
+    """
+    rng = np.random.default_rng(seed)
+    flow = scene.flow.copy()
+    mask = scene.mask.copy()
+    depth = scene.depth.copy()
+
+    if flow_noise_px > 0:
+        has_flow = np.any(flow != 0.0, axis=-1, keepdims=True)
+        flow = flow + np.where(
+            has_flow,
+            rng.normal(0.0, flow_noise_px, flow.shape).astype(np.float32),
+            0.0)
+    if flow_outlier_frac > 0:
+        bad = rng.uniform(size=flow.shape[:-1]) < flow_outlier_frac
+        gross = rng.uniform(-flow_outlier_px, flow_outlier_px,
+                            flow.shape).astype(np.float32)
+        flow = np.where(bad[..., None], flow + gross, flow)
+    if merge_labels:
+        for src, dst in merge_labels.items():
+            mask = np.where(mask == src, dst, mask)
+    for f in range(mask.shape[0]):
+        m = _erode_label_mask(mask[f], mask_erode_px)
+        mask[f] = _jitter_label_mask(m, rng, mask_jitter_px)
+    if depth_noise_scale > 0:
+        noise = rng.normal(0.0, 1.0, depth.shape).astype(np.float32)
+        depth = np.where(depth > 0,
+                         depth + depth_noise_scale * depth * depth * noise,
+                         depth)
+        depth = np.maximum(depth, 0.0)
+
+    return SyntheticScene(
+        rgb=scene.rgb, depth=depth, flow=flow.astype(np.float32), mask=mask,
+        T_wc_gt=scene.T_wc_gt, obj_H_gt=scene.obj_H_gt,
+        obj_pose_gt=scene.obj_pose_gt, obj_labels=scene.obj_labels,
+        K_mat=scene.K_mat,
     )
