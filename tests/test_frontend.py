@@ -357,3 +357,37 @@ class TestBirdeye:
         p = draw_scene_flow_birdeye(P, F, np.ones(50, bool),
                                     tmp_path / "sf.png")
         assert (tmp_path / "sf.png").stat().st_size > 5000
+
+
+class TestWirePacking:
+    def test_pack_unpack_roundtrip_precision(self):
+        """The int16 wire format must preserve what the solvers need:
+        depth to 1/256 m, labels/gray exactly, and flow to fp16 relative
+        precision — the 1/64 px fixed point it replaced measurably doubled
+        object-motion rotation error (DESIGN.md §9)."""
+        import jax.numpy as jnp
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(0)
+        H, W = 48, 64
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        depth = rng.uniform(0, 80, (H, W)).astype(np.float32)
+        flow = rng.uniform(-200, 200, (H, W, 2)).astype(np.float32)
+        flow[0, 0] = [0.01, -0.004]      # small-flow precision matters most
+        seg = rng.integers(0, 5, (H, W)).astype(np.int32)
+        scale = depth_wire_scale(1.0)
+        buf = pack_frame(gray, depth, flow, seg, depth_scale=scale)
+        assert buf.dtype == np.int16 and buf.shape == (4, H, W)
+        g2, d2, f2, s2 = (np.asarray(x) for x in
+                          unpack_frame(jnp.asarray(buf), depth_scale=scale))
+        np.testing.assert_array_equal(s2, seg)
+        assert np.abs(g2 - gray).max() <= 0.5 / 255 + 1e-6
+        assert np.abs(d2 - depth).max() <= 0.5 / 256 + 1e-5
+        # fp16 relative error: 2^-11 of magnitude (plus tiny abs floor)
+        rel = np.abs(f2 - flow) / np.maximum(np.abs(flow), 1e-3)
+        assert rel.max() <= 2.0 ** -10, rel.max()
+        # small flows keep SUB-milli-pixel absolute error (the old 1/64 px
+        # fixed point was 30x worse here)
+        assert np.abs(f2[0, 0] - flow[0, 0]).max() < 1e-4

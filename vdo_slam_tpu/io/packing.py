@@ -12,22 +12,24 @@ consumers:
                                   matching the classifier's _LABEL_SPACE)
   ch1: depth u16 bitcast         (the SAME quantization the reference's
                                   uint16 depth PNGs carry, vdo_slam.cc:107)
-  ch2: flow_u as round(f * 64)   (fixed point: +-511 px, 1/64 px resolution
-  ch3: flow_v as round(f * 64)    -- far below real flow-network noise)
+  ch2: flow_u fp16 bitcast       (relative precision: ~0.01 px at 20 px,
+  ch3: flow_v fp16 bitcast        sub-0.001 px for small flows — measured
+                                  to keep object-motion RPE at parity with
+                                  the unpacked float path, where the old
+                                  1/64 px fixed point cost ~2x object
+                                  rotation error; full float range, no
+                                  clamping)
 
-Quantization notes: the reference consumes uint16 depth PNGs and its flow
-from .flo files estimated by a network, so none of these formats lose
-information a real sequence ever had; only perfectly-synthetic float inputs
-are rounded.
+Quantization notes: the reference consumes uint16 depth PNGs, so the depth
+channel loses nothing a real sequence ever had; channel-isolation tests
+showed the 1/256 m depth and 1/255 gray quantization have no measurable
+metric effect, while flow precision directly bounds object-motion accuracy
+(hence fp16, not fixed point).
 """
 
 from __future__ import annotations
 
 import numpy as np
-
-FLOW_SCALE = 64.0
-FLOW_MAX = 32767
-
 
 def depth_wire_scale(depth_map_factor: float) -> float:
     """Raw-sample -> u16 wire scale.  Chosen so the metric quantization is
@@ -48,7 +50,7 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
     ch0 = (g8 | (s8 << 8)).astype(np.int16)
     ch1 = np.clip(np.rint(depth_raw * depth_scale), 0,
                   65535).astype(np.uint16).view(np.int16)
-    f = np.clip(np.rint(flow * FLOW_SCALE), -FLOW_MAX, FLOW_MAX).astype(np.int16)
+    f = np.ascontiguousarray(flow.astype(np.float16)).view(np.int16)
     return np.stack([ch0, ch1, f[..., 0], f[..., 1]])
 
 
@@ -63,6 +65,7 @@ def unpack_frame(buf, depth_scale: float = 1.0):
     gray = (u[0] & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
     seg = (u[0] >> 8).astype(jnp.int32)
     depth = u[1].astype(jnp.float32) * (1.0 / depth_scale)
-    fl = buf[2:4].astype(jnp.float32) * (1.0 / FLOW_SCALE)
+    fl = jax.lax.bitcast_convert_type(buf[2:4],
+                                      jnp.float16).astype(jnp.float32)
     flow = jnp.stack([fl[0], fl[1]], axis=-1)
     return gray, depth, flow, seg
