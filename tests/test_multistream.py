@@ -178,3 +178,68 @@ class TestStageProbe:
         assert summary["camera_est_ms"] >= 0.0
         assert sum(v for k, v in summary.items()
                    if k.endswith("_ms") and k != "local_ba_ms") > 0.0
+
+
+class TestMultiStreamSystem:
+    @pytest.mark.slow  # two full pipelines + batched step (~2 min CPU)
+    def test_full_pipeline_per_stream_with_equivalence(self):
+        """S-stream mode must run the COMPLETE per-stream pipeline (archive,
+        windowed BA, metrics) and stream s must reproduce a solo
+        FusedTracker run on the same data (same key schedule, same archive
+        math; vmap fp reassociation tolerance only)."""
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.parallel import MultiStreamSystem
+        from vdo_slam_tpu.pipeline import System
+
+        scenes = [
+            make_scene(num_frames=7, width=320, height=240, num_objects=2,
+                       seed=3),
+            make_scene(num_frames=7, width=320, height=240, num_objects=2,
+                       seed=9),
+        ]
+        cfg = small_config(scenes[0])
+        dss = [SyntheticDataset(s, depth_map_factor=1.0, bf=40.0)
+               for s in scenes]
+
+        msys = MultiStreamSystem(cfg, n_streams=2, enable_local_ba=True)
+        reps = msys.run(dss, verbose=False)
+        n = len(dss[0])
+        # every stream has a full archive + metrics
+        for s in range(2):
+            assert msys.maps[s].num_frames == n
+            assert len(reps[s]) == n
+        m = msys.metrics()
+        assert len(m["per_stream"]) == 2
+        for p in m["per_stream"]:
+            assert p["cam_t_rpe"] < 0.03, p
+            assert p["n_obj_estimates"] >= 3, p
+        assert m["aggregate"]["n_obj_estimates"] == sum(
+            p["n_obj_estimates"] for p in m["per_stream"])
+
+        # equivalence: stream 0 == solo fused run on the same dataset
+        solo = System(cfg, enable_local_ba=True, enable_global_ba=False,
+                      mode="fused")
+        solo.run_sequence(dss[0])
+        np.testing.assert_allclose(
+            np.stack(msys.maps[0].cam_pose), np.stack(solo.map.cam_pose),
+            atol=2e-4)
+        sm = solo.metrics()
+        assert abs(m["per_stream"][0]["cam_t_rpe"] - sm["cam_t_rpe"]) < 1e-4
+        assert (m["per_stream"][0]["n_obj_estimates"]
+                == sm["n_obj_estimates"])
+        # windowed BA ran per stream
+        assert all(t.ba_failures == 0 for t in msys.trackers)
+
+    def test_save_results_per_stream(self, tmp_path):
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.parallel import MultiStreamSystem
+
+        scene = make_scene(num_frames=4, width=320, height=240,
+                           num_objects=2, seed=3)
+        cfg = small_config(scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        msys = MultiStreamSystem(cfg, n_streams=2, enable_local_ba=False)
+        msys.run([ds, ds])
+        msys.save_results(tmp_path)
+        for s in range(2):
+            assert (tmp_path / f"stream_{s}" / "initial_stereo_new.txt").exists()

@@ -1,0 +1,180 @@
+"""MultiStreamSystem — the COMPLETE pipeline, S camera streams at once.
+
+`make_multistream_step` scales the raw tracking step over a mesh (SURVEY.md
+§2.3 "Multi-stream data parallel"); this module runs the WHOLE reference
+pipeline per stream on top of it: every stream gets its own append-only
+MapState archive, windowed BA triggers (Tracking.cc:1168-1183), metric
+reports and result files — so S-stream mode is behaviorally identical to S
+independent single-stream systems, while the per-frame device work is ONE
+vmapped/sharded executable (one dispatch, one packed upload, one packed
+drain for all streams).
+
+Design: each stream owns a FusedTracker for its HOST half (archive, GT
+parsing, window-BA trigger, reports) — the tracker's device step is simply
+never called; the batched step computes all streams' packed output vectors
+and each tracker archives its slice.  Stream s therefore behaves exactly
+like a solo FusedTracker (same PRNG key schedule, same archive math), which
+the equivalence test asserts.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import VDOConfig
+from ..io.packing import depth_wire_scale, pack_frame
+from .multistream import make_frame_step, make_stream_state
+
+
+def make_multistream_packed_step(cfg: VDOConfig, mesh: Mesh,
+                                 axis: str = "stream"):
+    """Batched packed-wire step: (states, inputs(S,...), keys(S,2)) ->
+    (states, vecs (S, n)) with stream data sharded over `axis`."""
+    # deferred: pipeline.fused itself imports parallel.multistream
+    from ..pipeline.fused import _pack_outputs
+
+    step = make_frame_step(cfg, packed=True)
+
+    def one(state, inputs, key):
+        state, metrics = step(state, inputs, key)
+        return state, _pack_outputs(state, metrics)
+
+    vstep = jax.vmap(one)
+    data_sharding = NamedSharding(mesh, P(axis))
+
+    def shard_tree(tree):
+        return jax.device_put(
+            tree, jax.tree.map(lambda _: data_sharding, tree)
+        )
+
+    return jax.jit(vstep), shard_tree
+
+
+class MultiStreamSystem:
+    """S end-to-end pipelines over one device mesh.
+
+    datasets: one dataset per stream (lengths may differ; the run stops at
+    the shortest — fixed shapes keep the executable shared).
+    """
+
+    def __init__(self, cfg: VDOConfig, n_streams: int,
+                 enable_local_ba: bool = True, devices=None):
+        from ..pipeline.fused import FusedTracker
+
+        self.cfg = cfg
+        self.S = n_streams
+        devices = jax.devices() if devices is None else devices
+        n_dev = max(d for d in range(1, len(devices) + 1)
+                    if n_streams % d == 0)
+        self.mesh = Mesh(np.asarray(devices[:n_dev]), ("stream",))
+        self.step, self._shard = make_multistream_packed_step(cfg, self.mesh)
+        # one host-side tracker per stream: archive + GT parsing + window-BA
+        # trigger + reports; their device steps are never invoked
+        self.trackers = [FusedTracker(cfg) for _ in range(n_streams)]
+        if enable_local_ba:
+            from ..backend.window_ba import local_ba_inplace
+
+            for t in self.trackers:
+                t.local_ba_hook = (
+                    lambda m, n_frames=None: local_ba_inplace(
+                        m, cfg, n_frames=n_frames))
+        self.states = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[make_stream_state(cfg) for _ in range(n_streams)],
+        )
+        self.states = self._shard(self.states)
+        self.frame_id = 0
+
+    @property
+    def maps(self):
+        return [t.map for t in self.trackers]
+
+    def _stage(self, fds) -> dict:
+        """One stacked (S,4,H,W) packed upload for all streams."""
+        scale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
+        packed = np.stack([
+            pack_frame(np.asarray(fd.rgb, np.float32),
+                       np.asarray(fd.depth_raw, np.float32),
+                       np.asarray(fd.flow, np.float32),
+                       np.asarray(fd.mask), depth_scale=scale)
+            for fd in fds
+        ])
+        gts = [t._gt_pose(fd.pose_gt_raw)
+               for t, fd in zip(self.trackers, fds)]
+        staged = self._shard({
+            "packed": packed,
+            "T_cw_gt": np.stack(gts).astype(np.float32),
+        })
+        staged["_gts_host"] = gts
+        return staged
+
+    def step_frame(self, fds, staged: dict | None = None) -> list[dict]:
+        """Process one frame for every stream (ONE device call); archives
+        per stream and returns per-stream reports."""
+        t0 = time.perf_counter()
+        if staged is None:
+            staged = self._stage(fds)
+        gts = staged.pop("_gts_host")
+        fid = self.frame_id
+        keys = jnp.stack([
+            jnp.asarray(t._keys[fid % t.MAX_FRAMES]) for t in self.trackers
+        ])
+        self.states, vecs = self.step(self.states, staged, keys)
+        vecs_np = np.asarray(vecs)  # (S, n)
+        reps = []
+        for s, t in enumerate(self.trackers):
+            rep = t._finish_frame(fds[s], gts[s], fid, vecs_np[s], t0)
+            t.frame_id = fid + 1
+            reps.append(rep)
+        self.frame_id += 1
+        return reps
+
+    def run(self, datasets, max_frames: int | None = None,
+            verbose: bool = False) -> list[list[dict]]:
+        """Drive all streams to the shortest dataset's end; returns
+        per-stream report lists."""
+        assert len(datasets) == self.S, (len(datasets), self.S)
+        n = min(len(d) for d in datasets)
+        if max_frames is not None:
+            n = min(n, max_frames)
+        all_reps: list[list[dict]] = [[] for _ in range(self.S)]
+        staged = self._stage([d[0] for d in datasets]) if n else None
+        for i in range(n):
+            fds = [d[i] for d in datasets]
+            nxt = ([d[i + 1] for d in datasets]) if i + 1 < n else None
+            reps = self.step_frame(fds, staged)
+            staged = self._stage(nxt) if nxt is not None else None
+            for s, r in enumerate(reps):
+                all_reps[s].append(r)
+            if verbose and "t_rpe" in reps[0]:
+                print(f"frame {i}: " + "  ".join(
+                    f"s{s}: t={r['t_rpe']:.4f}" for s, r in enumerate(reps)))
+        for t in self.trackers:
+            t._join_ba()
+        return all_reps
+
+    def metrics(self, refined: bool = False) -> dict:
+        """Per-stream metric reports + cross-stream aggregate."""
+        from ..eval.results import metric_report
+
+        per = [metric_report(t.map, refined=refined) for t in self.trackers]
+        agg = {}
+        for k in per[0]:
+            vals = [p[k] for p in per]
+            agg[k] = (float(np.sum(vals)) if k == "n_obj_estimates"
+                      else float(np.mean(vals)))
+        return {"per_stream": per, "aggregate": agg}
+
+    def save_results(self, out_dir) -> None:
+        """One reference-format results directory per stream."""
+        from pathlib import Path
+
+        from ..eval.results import save_results
+
+        for s, t in enumerate(self.trackers):
+            save_results(t.map, Path(out_dir) / f"stream_{s}")
