@@ -33,15 +33,16 @@ def log(*a):
 
 
 def bench_multistream(n_streams: int, n_frames: int = 40):
-    """Aggregate-throughput mode: S independent streams vmapped into ONE
-    device program on the single chip (python bench.py --streams S).
-
-    Each stream tracks a different window of the synthetic sequence; the
-    whole per-frame step (Pallas FAST pyramid, camera RANSAC+LM, classifier,
-    vmapped per-object LM, renewal) is batched over streams, so fixed
-    per-call overhead (dispatch + tunnel round-trip) amortizes S-fold.
+    """Aggregate-throughput mode (python bench.py --streams S): S COMPLETE
+    end-to-end pipelines — per-stream MapState archive, windowed BA every 16
+    frames, per-stream metric reports — with the per-frame device work of
+    all streams batched into ONE vmapped program on the single chip
+    (MultiStreamSystem).  Fixed per-call overhead (dispatch + tunnel
+    round-trip) amortizes S-fold; each stream tracks a different window of
+    the synthetic sequence.
     """
     import pickle
+    import threading
     from pathlib import Path
 
     import jax
@@ -51,12 +52,11 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
 
     import dataclasses as dc
 
+    from vdo_slam_tpu.backend.window_ba import warmup_window_ba
     from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
-    from vdo_slam_tpu.io.packing import depth_wire_scale, pack_frame
     from vdo_slam_tpu.io.synthetic import make_scene
     from vdo_slam_tpu.io.dataset import SyntheticDataset
-    from vdo_slam_tpu.parallel.multistream import (make_frame_step,
-                                                   make_stream_state)
+    from vdo_slam_tpu.parallel import MultiStreamSystem
 
     W, H = 1242, 375
     cache = Path(f"/tmp/vdo_bench_scene_{N_FRAMES}.pkl")
@@ -75,58 +75,60 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
         shapes=ShapeConfig(),
     )
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
-    dscale = depth_wire_scale(cfg.tracking.depth_map_factor)
-
-    step = jax.jit(jax.vmap(make_frame_step(cfg, packed=True)))
-    states = jax.tree.map(
-        lambda x: jnp_stack([x] * n_streams), make_stream_state(cfg))
 
     # each stream starts at a different offset of the sequence
+    class _View:
+        def __init__(self, base, start, n):
+            self.base, self.start, self.n = base, start, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return self.base[self.start + i]
+
     offsets = [(7 * s) % (len(ds) - n_frames) for s in range(n_streams)]
+    datasets = [_View(ds, off, n_frames) for off in offsets]
 
-    def frame_inputs(i):
-        packs, gts = [], []
-        for s in range(n_streams):
-            fd = ds[offsets[s] + i]
-            packs.append(pack_frame(
-                np.asarray(fd.rgb, np.float32),
-                np.asarray(fd.depth_raw, np.float32),
-                np.asarray(fd.flow, np.float32),
-                np.asarray(fd.mask), depth_scale=dscale))
-            T_wc = np.asarray(fd.pose_gt_raw, np.float64)
-            T0 = np.asarray(ds[offsets[s]].pose_gt_raw, np.float64)
-            gts.append((np.linalg.inv(T_wc) @ T0).astype(np.float32))
-        return {"packed": np.stack(packs), "T_cw_gt": np.stack(gts)}
+    msys = MultiStreamSystem(cfg, n_streams=n_streams, enable_local_ba=True)
 
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0),
-                                       (n_frames + 4) * n_streams)
-                      ).reshape(n_frames + 4, n_streams, 2)
+    # window-BA executable compiles + first-executes off the critical path
+    # (shared across streams: the graph shapes are capacity-fixed)
+    warm_t0 = time.perf_counter()
+    warm = threading.Thread(target=lambda: warmup_window_ba(cfg),
+                            daemon=True)
+    warm.start()
 
-    # warmup (compile)
     log(f"multistream: compiling S={n_streams} step...")
+    WARM = 3
     t0 = time.perf_counter()
-    for i in range(3):
-        states, metrics = step(states, jax.device_put(frame_inputs(i)),
-                               keys[i])
+    staged = msys._stage([d[0] for d in datasets])
+    for i in range(WARM):
+        msys.step_frame([d[i] for d in datasets], staged)
+        staged = msys._stage([d[i + 1] for d in datasets])
         log(f"  warm frame {i}: +{time.perf_counter()-t0:.1f}s")
-    _ = float(jax.device_get(metrics["t_rpe"]).sum())
     log(f"multistream warmup (S={n_streams}): {time.perf_counter()-t0:.1f}s")
+    warm.join()
+    log(f"window-BA warmup done at +{time.perf_counter()-warm_t0:.1f}s")
 
     t0 = time.perf_counter()
-    staged = jax.device_put(frame_inputs(3))
-    rpes = []
-    for i in range(3, n_frames):
-        states, metrics = step(states, staged, keys[i])
-        if i + 1 < n_frames:
-            staged = jax.device_put(frame_inputs(i + 1))  # overlap upload
-        rpes.append(metrics["t_rpe"])
-    rpes = np.asarray(jax.device_get(jnp_stack(rpes)))
+    for i in range(WARM, n_frames):
+        msys.step_frame([d[i] for d in datasets], staged)
+        staged = (msys._stage([d[i + 1] for d in datasets])
+                  if i + 1 < n_frames else None)
+    for t in msys.trackers:
+        t._join_ba()
     elapsed = time.perf_counter() - t0
-    n_done = (n_frames - 3) * n_streams
+    n_done = (n_frames - WARM) * n_streams
     fps = n_done / elapsed
     log(f"multistream S={n_streams}: {n_done} frame-steps in {elapsed:.2f}s "
-        f"= {fps:.2f} aggregate fps ({fps / n_streams:.2f}/stream)")
-    log(f"mean t_rpe across streams/frames: {rpes.mean():.5f}")
+        f"= {fps:.2f} aggregate fps ({fps / n_streams:.2f}/stream), "
+        f"windowed BA on")
+    m = msys.metrics()
+    for s, p in enumerate(m["per_stream"]):
+        log(f"  stream {s}: {p}")
+    log(f"aggregate accuracy: {m['aggregate']}  "
+        f"ba_failures: {[t.ba_failures for t in msys.trackers]}")
     print(json.dumps({
         "metric": f"kitti_synth_multistream{n_streams}_aggregate_fps",
         "value": round(fps, 3),

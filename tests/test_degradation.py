@@ -87,7 +87,7 @@ class TestCrowdedScene:
         crash, camera unaffected."""
         scene = make_scene(num_frames=10, width=320, height=240,
                            num_objects=10, obj_spacing=2.5,
-                           obj_cross_frac=0.5, seed=5)
+                           obj_cross_frac=0.5, seed=7)
         # the render must actually contain a crowded frame
         vis = max(len(np.unique(scene.mask[f])) - 1 for f in range(10))
         assert vis >= 8, vis

@@ -348,3 +348,38 @@ class TestOnDiskSequence:
         np.testing.assert_allclose(fd_nat.depth_raw, fd_py.depth_raw, atol=0)
         np.testing.assert_allclose(fd_nat.flow, fd_py.flow, atol=0)
         np.testing.assert_array_equal(fd_nat.mask, fd_py.mask)
+
+
+class TestMidSequenceStart:
+    @pytest.mark.slow  # second full pipeline run (~1-2 min CPU)
+    def test_offset_start_accuracy_matches_origin_start(self, scene,
+                                                        tracked_session):
+        """Starting mid-sequence (GT origin != I) must track as accurately
+        as starting at frame 0: the first frame's rebased GT pose is I by
+        construction, matching the pose-chain init (regression: the old
+        _gt_pose returned inv(raw0) for the first frame, which poisoned the
+        first RPE pair for every offset stream)."""
+        from vdo_slam_tpu.pipeline import System
+
+        cfg = small_config(scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+
+        class _View:
+            def __init__(self, base, start):
+                self.base, self.start = base, start
+
+            def __len__(self):
+                return len(self.base) - self.start
+
+            def __getitem__(self, i):
+                return self.base[self.start + i]
+
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="fused")
+        sysm.run_sequence(_View(ds, 3))
+        rep = sysm.metrics()
+        ref = tracked_session["sysm"].metrics()
+        assert rep["cam_t_rpe"] < max(3.0 * ref["cam_t_rpe"], 0.005), (rep,
+                                                                       ref)
+        assert rep["cam_r_rpe_deg"] < max(3.0 * ref["cam_r_rpe_deg"], 0.01)
+        assert rep["obj_t_rpe"] < 0.02, rep

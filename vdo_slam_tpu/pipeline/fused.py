@@ -152,9 +152,10 @@ class FusedTracker:
         self._probe_rtt_ms = 0.0
 
     def _gt_pose(self, raw):
+        # rebased so the first frame's GT is exactly I (matching the
+        # pose-chain init) even when the run starts mid-sequence
         if self.origin_inv is None:
             self.origin_inv = np.asarray(raw, np.float32)
-            return _np_inv(self.origin_inv)
         return _np_inv(np.asarray(raw, np.float32)) @ self.origin_inv
 
     def _gt_obj(self, rows, T_wc_gt):

@@ -112,10 +112,12 @@ class Tracker:
         return k
 
     def _gt_pose(self, T_cw_gt_raw: np.ndarray) -> np.ndarray:
-        """Origin-normalized GT world->camera (Tracking.cc:320-331)."""
+        """Origin-normalized GT world->camera (Tracking.cc:320-331).
+
+        The first frame's GT is exactly I (matching the pose-chain init)
+        even when the run starts mid-sequence (raw origin != I)."""
         if self.origin_inv is None:
             self.origin_inv = np.asarray(T_cw_gt_raw, np.float32)
-            return _np_inv(self.origin_inv)
         return _np_inv(np.asarray(T_cw_gt_raw, np.float32)) @ self.origin_inv
 
     def _parse_obj_rows(self, rows: np.ndarray, T_wc_gt: np.ndarray):
