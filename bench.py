@@ -53,7 +53,8 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     import dataclasses as dc
 
     from vdo_slam_tpu.backend.window_ba import warmup_window_ba
-    from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
+    from vdo_slam_tpu.config import (KITTI, ShapeConfig, TrackingConfig,
+                                     VDOConfig, tpu_fast)
     from vdo_slam_tpu.io.synthetic import make_scene
     from vdo_slam_tpu.io.dataset import SyntheticDataset
     from vdo_slam_tpu.parallel import MultiStreamSystem
@@ -74,6 +75,7 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
                             depth_map_factor=256.0),
         shapes=ShapeConfig(),
     )
+    cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
 
     # each stream starts at a different offset of the sequence
@@ -151,7 +153,8 @@ def main(hard: bool = False):
     jax.config.update("jax_compilation_cache_dir", "/tmp/vdo_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from vdo_slam_tpu.config import KITTI, ShapeConfig, TrackingConfig, VDOConfig
+    from vdo_slam_tpu.config import (KITTI, ShapeConfig, TrackingConfig,
+                                     VDOConfig, tpu_fast)
     from vdo_slam_tpu.io.dataset import SyntheticDataset
     from vdo_slam_tpu.io.synthetic import degrade_scene, make_scene
     from vdo_slam_tpu.pipeline import System
@@ -209,6 +212,7 @@ def main(hard: bool = False):
             full_point_cap=122880, full_motion_cap=192, full_smo_cap=192,
         ),
     )
+    cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
 
     # fused mode: the whole per-frame pipeline in one device call;

@@ -742,8 +742,13 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
         return (v, lam, cost), cost
 
     cost0 = robust_cost(g, v0, p)
+    # UNROLLED scan: the step body is gather/scatter/segment-sum heavy, and
+    # XLA:TPU cannot layout-specialize across scan iterations (the round-1
+    # _pcg finding, CLAUDE.md) — unroll=4 measured 3.8x faster on the
+    # window graph (12-iter solve 704 -> 187 ms warm, round 3)
     (v, _, cost), history = jax.lax.scan(
-        step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters
+        step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters,
+        unroll=min(p.iters, 4),
     )
     return v, {"cost0": cost0, "cost": cost, "history": history,
                "stats0": edge_type_stats(g, v0, p),

@@ -115,6 +115,14 @@ class SolverConfig:
                                        # measured: metrics identical at 12/15/
                                        # 20/30 on the oracle scene; each iter
                                        # costs ~1.6 ms of the fused TPU step
+    lm_iters_obj: int | None = None    # object-LM override (None = lm_iters).
+                                       # The object solve is vmapped over all
+                                       # K motion slots and dominates LM cost;
+                                       # the camera solve is one pose and
+                                       # cheap — cutting only the object side
+                                       # keeps camera accuracy in the noise
+                                       # regime (round-3 A/B: shared 12 cost
+                                       # 16% cam_t on the degraded scene)
     lm_lambda_init: float = 1e-5
     lm_lambda_factor: float = 10.0
     lm_unroll: int = 2                 # fixed-length scan(unroll=k) LM: same
@@ -198,6 +206,27 @@ class VDOConfig:
 
     def replace(self, **kwargs: Any) -> "VDOConfig":
         return dataclasses.replace(self, **kwargs)
+
+
+def tpu_fast(cfg: VDOConfig) -> VDOConfig:
+    """The measured best-throughput perf point at matched accuracy.
+
+    Round-3 A/B on the 100-frame KITTI-sized oracle (clean + degraded):
+    object-LM iterations 15->12 (the vmapped all-slots object solve
+    dominates LM cost; object RPE unchanged-or-better on both scenes).
+    Camera-LM iterations stay at 15 — a shared 12 cost 16% cam_t RPE in
+    the degraded-flow regime.  Sparser object sampling (obj_sample_step 6)
+    and fewer pyramid levels (5) were ALSO measured (29.7 ms/frame
+    combined) but REJECTED: under degraded masks (erosion 1px + jitter)
+    step 6 drops objects below the reference's 150-point gate
+    (Tracking.cc:1490) — object coverage collapsed 99 -> 15 estimates —
+    and the 1.8 ms they buy is not worth losing objects.  Defaults stay at
+    reference parity; bench.py and throughput-focused deployments opt in
+    via this preset.
+    """
+    return cfg.replace(
+        solver=dataclasses.replace(cfg.solver, lm_iters_obj=12),
+    )
 
 
 def _parse_opencv_yaml(path: str | Path) -> dict:

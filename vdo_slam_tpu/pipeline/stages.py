@@ -64,7 +64,8 @@ def _lm_params(cfg: VDOConfig, for_objects: bool) -> FlowLMParams:
         info_proj=s.info_proj,
         info_flow=s.info_flow_obj if for_objects else s.info_flow_cam,
         rp_thres=s.rp_thres,
-        iters=s.lm_iters,
+        iters=(s.lm_iters_obj if for_objects and s.lm_iters_obj is not None
+               else s.lm_iters),
         lambda_init=s.lm_lambda_init,
         unroll=s.lm_unroll,
     )
