@@ -113,11 +113,16 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     warm.join()
     log(f"window-BA warmup done at +{time.perf_counter()-warm_t0:.1f}s")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    uploader = ThreadPoolExecutor(1)  # see MultiStreamSystem.run
     t0 = time.perf_counter()
     for i in range(WARM, n_frames):
+        fut = (uploader.submit(msys._stage, [d[i + 1] for d in datasets])
+               if i + 1 < n_frames else None)
         msys.step_frame([d[i] for d in datasets], staged)
-        staged = (msys._stage([d[i + 1] for d in datasets])
-                  if i + 1 < n_frames else None)
+        staged = fut.result() if fut is not None else None
+    uploader.shutdown(wait=True)
     for t in msys.trackers:
         t._join_ba()
     elapsed = time.perf_counter() - t0

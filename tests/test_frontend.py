@@ -391,3 +391,37 @@ class TestWirePacking:
         # small flows keep SUB-milli-pixel absolute error (the old 1/64 px
         # fixed point was 30x worse here)
         assert np.abs(f2[0, 0] - flow[0, 0]).max() < 1e-4
+
+    def test_flow_half_wire(self):
+        """flow_half mode: 5 B/px flat wire — gray/seg/depth unchanged,
+        flow exact (to fp16) at even pixels and bilinear in between, so a
+        SMOOTH flow field reconstructs to sub-0.01 px everywhere."""
+        import jax.numpy as jnp
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(1)
+        H, W = 47, 63                    # odd on purpose (KITTI is 375x1242)
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        depth = rng.uniform(0, 80, (H, W)).astype(np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        # smooth field with gentle curvature (like real camera-motion flow)
+        flow = np.stack([3.0 + 0.02 * xx + 0.001 * yy * yy / H,
+                         -1.5 + 0.015 * yy + 0.0005 * xx * xx / W],
+                        axis=-1).astype(np.float32)
+        seg = rng.integers(0, 5, (H, W)).astype(np.int32)
+        scale = depth_wire_scale(1.0)
+        buf = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                         flow_half=True)
+        Hh, Wh = (H + 1) // 2, (W + 1) // 2
+        assert buf.dtype == np.int16 and buf.shape == (2 * H * W
+                                                       + 2 * Hh * Wh,)
+        g2, d2, f2, s2 = (np.asarray(x) for x in unpack_frame(
+            jnp.asarray(buf), depth_scale=scale, flow_half=True, hw=(H, W)))
+        np.testing.assert_array_equal(s2, seg)
+        assert np.abs(g2 - gray).max() <= 0.5 / 255 + 1e-6
+        assert np.abs(d2 - depth).max() <= 0.5 / 256 + 1e-5
+        # even pixels: exact to fp16; everywhere: bilinear of a smooth field
+        assert np.abs(f2[0::2, 0::2] - flow[0::2, 0::2]).max() < 2e-2
+        assert np.abs(f2 - flow).max() < 5e-2, np.abs(f2 - flow).max()

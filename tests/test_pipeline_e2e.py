@@ -383,3 +383,30 @@ class TestMidSequenceStart:
                                                                        ref)
         assert rep["cam_r_rpe_deg"] < max(3.0 * ref["cam_r_rpe_deg"], 0.01)
         assert rep["obj_t_rpe"] < 0.02, rep
+
+
+class TestHalfResFlowWire:
+    @pytest.mark.slow  # extra full fused pipeline run (~1-2 min CPU)
+    def test_flow_half_tracks_at_parity(self, scene, tracked_session):
+        """The 5 B/px wire (half-res fp16 flow, io/packing.py) must track
+        the small scene at parity with the host-orchestrated reference run:
+        flow is consumed at sparse gathers and the mask warp, and the
+        bilinear reconstruction error of a smooth flow field stays below
+        the fp16 wire noise away from motion boundaries."""
+        from vdo_slam_tpu.pipeline import System
+
+        cfg = small_config(scene, wire_flow_half=True, fused_chunk=2)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="fused")
+        sysm.run_sequence(ds)
+        rep = sysm.metrics()
+        ref = tracked_session["sysm"].metrics()
+        assert rep["cam_t_rpe"] < max(1.5 * ref["cam_t_rpe"], 0.003), (rep,
+                                                                       ref)
+        assert rep["cam_r_rpe_deg"] < max(1.5 * ref["cam_r_rpe_deg"], 0.008)
+        assert rep["obj_t_rpe"] < max(1.5 * ref["obj_t_rpe"], 0.01), (rep,
+                                                                      ref)
+        assert rep["obj_r_rpe_deg"] < max(2.0 * ref["obj_r_rpe_deg"], 0.1), (
+            rep, ref)
+        assert rep["n_obj_estimates"] >= 0.8 * ref["n_obj_estimates"]

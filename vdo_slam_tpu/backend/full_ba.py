@@ -91,9 +91,11 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         v, info = lm_solve_chunked(
             graph, v0, p, chunk=FULL_BA_CHUNK,
             callback=lambda i, _: chunk_times.append(time.perf_counter()))
-    poses = np.asarray(v.poses)
-    motions = np.asarray(v.motions)
-    points = np.asarray(v.points)
+    # ONE batched device->host transfer (per-array np.asarray pays a full
+    # tunnel round-trip each on remote-attached devices)
+    poses, motions, points, cost0, cost, stats0, stats = jax.device_get(
+        (v.poses, v.motions, v.points, info["cost0"], info["cost"],
+         info["stats0"], info["stats"]))
     t_solve = time.perf_counter() - t0
     t0 = time.perf_counter()
 
@@ -124,10 +126,9 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
         "n_points": meta.n_static_points + int(meta.dyn_obs[0].size),
     }
     # per-edge-type chi2 + inlier breakdown (Optimizer.cc:1938-2091 analog)
-    stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
-        "cost0": float(info["cost0"]),
-        "cost": float(info["cost"]),
+        "cost0": float(cost0),
+        "cost": float(cost),
         "n_static": meta.n_static_points,
         "n_dyn": int(meta.dyn_obs[0].size),
         "n_motions": meta.n_motions,

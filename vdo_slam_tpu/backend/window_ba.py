@@ -63,8 +63,12 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
     # dense-Schur direct solver applies (and outruns matrix-free PCG)
     solve = lm_solve_schur if solver == "schur" else lm_solve
     v, info = solve(graph, v0, p)
-    poses = np.asarray(v.poses)
-    points = np.asarray(v.points)
+    # ONE batched device->host transfer for everything the write-back and
+    # report need: per-array np.asarray/device_get pays a full tunnel
+    # round-trip each (~33-70 ms) on remote-attached devices
+    poses, points, cost0, cost, stats0, stats = jax.device_get(
+        (v.poses, v.points, info["cost0"], info["cost"], info["stats0"],
+         info["stats"]))
 
     # write back refined camera poses and recomputed camera motions
     # (Optimizer.cc:1055-1082): vmCameraPose in place, motion = inv(P_a) P_b
@@ -85,10 +89,9 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
         sel = s_frm == f
         m.stat_3d[f][s_fea[sel]] = points[s_pid[sel]]
     # per-edge-type chi2 + inlier breakdown (Optimizer.cc:640-970 analog)
-    stats0, stats = jax.device_get((info["stats0"], info["stats"]))
     return {
-        "cost0": float(info["cost0"]),
-        "cost": float(info["cost"]),
+        "cost0": float(cost0),
+        "cost": float(cost),
         "n_points": meta.n_static_points,
         "window": len(meta.frame_ids),
         "n_tracks_dropped": meta.n_tracks_dropped,

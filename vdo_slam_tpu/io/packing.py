@@ -39,28 +39,119 @@ def depth_wire_scale(depth_map_factor: float) -> float:
 
 
 def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
-               seg: np.ndarray, depth_scale: float = 1.0) -> np.ndarray:
+               seg: np.ndarray, depth_scale: float = 1.0,
+               flow_half: bool = False) -> np.ndarray:
     """Host-side pack: (H,W) gray [0,1], (H,W) raw depth samples,
     (H,W,2) float flow, (H,W) int labels -> (4,H,W) int16.
 
     depth_scale: see depth_wire_scale — raw samples are stored as
-    round(depth_raw * depth_scale) in u16."""
+    round(depth_raw * depth_scale) in u16.
+
+    flow_half: carry flow at HALF resolution (even-pixel samples, fp16) and
+    bilinearly upsample on device — the wire drops from 8 to 5 bytes/pixel
+    (the tunnel to the remote chip is bandwidth-bound and the upload is the
+    tracking loop's critical path).  Flow is consumed at sparse gather
+    positions and for the mask warp; it is smooth away from motion
+    boundaries, where interpolation error stays well under the fp16 wire
+    noise.  Returns a FLAT int16 vector (see flow_half wire layout below)
+    instead of (4,H,W)."""
     g8 = np.clip(np.rint(gray * 255.0), 0, 255).astype(np.uint16)
     s8 = np.clip(seg, 0, 255).astype(np.uint16)
     ch0 = (g8 | (s8 << 8)).astype(np.int16)
     ch1 = np.clip(np.rint(depth_raw * depth_scale), 0,
                   65535).astype(np.uint16).view(np.int16)
+    if flow_half:
+        # layout: [gray|seg (H*W), depth (H*W), flow_u (Hh*Wh), flow_v
+        # (Hh*Wh)] — 2.5 int16/px = 5 B/px
+        fh = np.ascontiguousarray(
+            flow[0::2, 0::2].astype(np.float16)).view(np.int16)
+        return np.concatenate([ch0.ravel(), ch1.ravel(),
+                               fh[..., 0].ravel(), fh[..., 1].ravel()])
     f = np.ascontiguousarray(flow.astype(np.float16)).view(np.int16)
     return np.stack([ch0, ch1, f[..., 0], f[..., 1]])
 
 
-def unpack_frame(buf, depth_scale: float = 1.0):
-    """Device-side unpack: (4,H,W) int16 -> (gray f32, depth_raw f32,
-    flow f32 (H,W,2), seg i32).  Pure elementwise — XLA fuses it into the
-    first consumers, so the unpack is effectively free."""
+def _upsample2x_seg(f, seg):
+    """Seg-aware bilinear 2x upsample of (h, w, 2) flow -> (2h, 2w, 2) with
+    out[2i, 2j] = f[i, j] (matching the host's even-pixel downsample).
+
+    Plain bilinear interpolates ACROSS motion boundaries, contaminating
+    object flow with background flow (measured: 10x object-rotation RPE on
+    the oracle scene).  The full-res seg rides the same wire, so each output
+    pixel mixes only the coarse samples that share its label (renormalized
+    weights; plain bilinear as fallback where no neighbor matches).  Rigid
+    motion induces an affine-in-pixel flow field, which bilinear
+    reconstructs exactly in the interior — the boundary was the only error
+    source.  Pure elementwise + pad/reshape; XLA fuses it into consumers."""
+    import jax.numpy as jnp
+
+    h, w, _ = f.shape
+    # edge-pad to exactly (2h, 2w): for odd H/W the last sample row/col of
+    # the coarse grid covers one fewer fine row/col
+    seg2 = jnp.pad(seg, ((0, 2 * h - seg.shape[0]),
+                         (0, 2 * w - seg.shape[1])), mode="edge")
+    sh = seg2[0::2, 0::2]                                  # (h, w) labels
+
+    def pad_r(x):   # neighbor to the right, edge-clamped
+        return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+    def pad_d(x):   # neighbor below, edge-clamped
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+    # the 4 coarse corners of every output cell, as (h, w, ...) grids
+    f00, f01 = f, pad_r(f)
+    f10, f11 = pad_d(f), pad_r(pad_d(f))
+    s00, s01 = sh, pad_r(sh)
+    s10, s11 = pad_d(sh), pad_r(pad_d(sh))
+
+    # output phases: (dy, dx) in the 2x2 cell -> bilinear corner weights
+    out = jnp.zeros((2 * h, 2 * w, 2), f.dtype)
+    phases = {(0, 0): (1.0, 0.0, 0.0, 0.0), (0, 1): (.5, .5, 0.0, 0.0),
+              (1, 0): (.5, 0.0, .5, 0.0), (1, 1): (.25, .25, .25, .25)}
+    for (dy, dx), (w00, w01, w10, w11) in phases.items():
+        lab = seg2[dy::2, dx::2]                           # (h, w)
+        ws = []
+        acc = 0.0
+        macc = 0.0
+        for wgt, fv, sv in ((w00, f00, s00), (w01, f01, s01),
+                            (w10, f10, s10), (w11, f11, s11)):
+            if wgt == 0.0:
+                continue
+            m = (sv == lab).astype(f.dtype)[..., None] * wgt
+            acc = acc + fv * m
+            macc = macc + m
+            ws.append((wgt, fv))
+        plain = sum(wgt * fv for wgt, fv in ws)
+        val = jnp.where(macc > 0, acc / jnp.maximum(macc, 1e-6), plain)
+        out = out.at[dy::2, dx::2].set(val)
+    return out
+
+
+def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
+                 hw: tuple[int, int] | None = None):
+    """Device-side unpack: (4,H,W) int16 — or the flat flow_half layout,
+    with hw=(H,W) — -> (gray f32, depth_raw f32, flow f32 (H,W,2), seg i32).
+    Pure elementwise (+ the 2x flow upsample in flow_half mode) — XLA fuses
+    it into the first consumers, so the unpack is effectively free."""
     import jax
     import jax.numpy as jnp
 
+    if flow_half:
+        H, W = hw
+        Hh, Wh = (H + 1) // 2, (W + 1) // 2
+        n = H * W
+        u = jax.lax.bitcast_convert_type(buf, jnp.uint16)
+        c0 = u[:n].reshape(H, W)
+        gray = (c0 & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        seg = (c0 >> 8).astype(jnp.int32)
+        depth = u[n:2 * n].reshape(H, W).astype(jnp.float32) * (
+            1.0 / depth_scale)
+        fh = jax.lax.bitcast_convert_type(
+            buf[2 * n:], jnp.float16).astype(jnp.float32)
+        f = jnp.stack([fh[:Hh * Wh].reshape(Hh, Wh),
+                       fh[Hh * Wh:].reshape(Hh, Wh)], axis=-1)
+        flow = _upsample2x_seg(f, seg)[:H, :W]
+        return gray, depth, flow, seg
     u = jax.lax.bitcast_convert_type(buf, jnp.uint16)  # raw bit patterns
     gray = (u[0] & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
     seg = (u[0] >> 8).astype(jnp.int32)

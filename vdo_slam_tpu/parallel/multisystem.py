@@ -101,7 +101,8 @@ class MultiStreamSystem:
             pack_frame(np.asarray(fd.rgb, np.float32),
                        np.asarray(fd.depth_raw, np.float32),
                        np.asarray(fd.flow, np.float32),
-                       np.asarray(fd.mask), depth_scale=scale)
+                       np.asarray(fd.mask), depth_scale=scale,
+                       flow_half=self.cfg.tracking.wire_flow_half)
             for fd in fds
         ])
         gts = [t._gt_pose(fd.pose_gt_raw)
@@ -138,22 +139,34 @@ class MultiStreamSystem:
             verbose: bool = False) -> list[list[dict]]:
         """Drive all streams to the shortest dataset's end; returns
         per-stream report lists."""
+        from concurrent.futures import ThreadPoolExecutor
+
         assert len(datasets) == self.S, (len(datasets), self.S)
         n = min(len(d) for d in datasets)
         if max_frames is not None:
             n = min(n, max_frames)
         all_reps: list[list[dict]] = [[] for _ in range(self.S)]
         staged = self._stage([d[0] for d in datasets]) if n else None
-        for i in range(n):
-            fds = [d[i] for d in datasets]
-            nxt = ([d[i + 1] for d in datasets]) if i + 1 < n else None
-            reps = self.step_frame(fds, staged)
-            staged = self._stage(nxt) if nxt is not None else None
-            for s, r in enumerate(reps):
-                all_reps[s].append(r)
-            if verbose and "t_rpe" in reps[0]:
-                print(f"frame {i}: " + "  ".join(
-                    f"s{s}: t={r['t_rpe']:.4f}" for s, r in enumerate(reps)))
+        # next frame's pack + device_put on a dedicated thread: uploads
+        # issued from the dispatching thread serialize with in-flight
+        # compute on the remote tunnel (see System.run_sequence)
+        uploader = ThreadPoolExecutor(1)
+        try:
+            for i in range(n):
+                fds = [d[i] for d in datasets]
+                nxt = ([d[i + 1] for d in datasets]) if i + 1 < n else None
+                fut = (uploader.submit(self._stage, nxt)
+                       if nxt is not None else None)
+                reps = self.step_frame(fds, staged)
+                staged = fut.result() if fut is not None else None
+                for s, r in enumerate(reps):
+                    all_reps[s].append(r)
+                if verbose and "t_rpe" in reps[0]:
+                    print(f"frame {i}: " + "  ".join(
+                        f"s{s}: t={r['t_rpe']:.4f}"
+                        for s, r in enumerate(reps)))
+        finally:
+            uploader.shutdown(wait=True)
         for t in self.trackers:
             t._join_ba()
         return all_reps

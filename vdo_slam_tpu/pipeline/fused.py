@@ -184,7 +184,8 @@ class FusedTracker:
                 np.asarray(fd.flow, np.float32),
                 np.asarray(fd.mask),
                 depth_scale=depth_wire_scale(
-                    self.cfg.tracking.depth_map_factor)),
+                    self.cfg.tracking.depth_map_factor),
+                flow_half=self.cfg.tracking.wire_flow_half),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
         })
         staged["_T_cw_gt_host"] = T_cw_gt
@@ -209,7 +210,9 @@ class FusedTracker:
         staged = self.device_inputs(fd)
         gray, depth_raw, flow, seg = unpack_frame(
             staged["packed"],
-            depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor))
+            depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor),
+            flow_half=self.cfg.tracking.wire_flow_half,
+            hw=(self.cfg.camera.height, self.cfg.camera.width))
         inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                   "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
         probe = make_stage_probe(self.cfg)
@@ -346,7 +349,8 @@ class FusedTracker:
                 np.asarray(fd.rgb, np.float32),
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
-                np.asarray(fd.mask), depth_scale=dscale))
+                np.asarray(fd.mask), depth_scale=dscale,
+                flow_half=self.cfg.tracking.wire_flow_half))
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),

@@ -85,12 +85,21 @@ class System:
             C = getattr(self.tracker, "chunk", 1)
             if C > 1 and n >= C:
                 # chunked drive: C frames per device call, prefetching the
-                # next chunk while the current one computes
+                # next chunk while the current one computes.  The pack +
+                # device_put of the NEXT chunk runs on a dedicated uploader
+                # thread: a device_put issued from the dispatching thread
+                # SERIALIZES with in-flight compute on the remote tunnel
+                # (measured: compute+upload = sum same-thread, but overlaps
+                # fully from a second thread), and the upload is the
+                # steady-state critical path
+                from concurrent.futures import ThreadPoolExecutor
+
                 pf = ThreadedPrefetcher(_Limit(dataset, n))
                 it = iter(pf)
                 nxt = [None]
+                uploader = ThreadPoolExecutor(1)
 
-                def prefetch_chunk():
+                def _stage_next():
                     take = []
                     for _ in range(C):
                         x = next(it, None)
@@ -102,6 +111,9 @@ class System:
                         return self.tracker.device_inputs_chunk(take)
                     return None
 
+                def prefetch_chunk():
+                    return uploader.submit(_stage_next)
+
                 try:
                     fds = [next(it) for _ in range(C)]
                     staged = self.tracker.device_inputs_chunk(fds)
@@ -109,7 +121,8 @@ class System:
                         for rep in self.tracker.grab_chunk(
                                 fds, staged, prefetch_cb=prefetch_chunk):
                             _show(rep)
-                        staged = getattr(self.tracker, "_prefetched", None)
+                        fut = getattr(self.tracker, "_prefetched", None)
+                        staged = fut.result() if fut is not None else None
                         fds = nxt[0]
                         if staged is None or fds is None or len(fds) < C:
                             break
@@ -127,6 +140,7 @@ class System:
                                 pad, tail_staged, n_real=len(fds)):
                             _show(rep)
                 finally:
+                    uploader.shutdown(wait=True)
                     pf.close()
                 final = self.tracker.flush()
                 for rep in ([final] if isinstance(final, dict)
