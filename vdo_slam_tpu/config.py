@@ -104,6 +104,14 @@ class TrackingConfig:
     # the interpolation error is below the fp16 wire noise away from motion
     # boundaries.  Off by default (exact-parity wire); tpu_fast() opts in.
     wire_flow_half: bool = False
+    # chunks per output drain: every device->host fetch costs ~1 tunnel
+    # round-trip ON THE CRITICAL PATH even from a background thread (the
+    # client serializes requests; measured: the 30 ms/frame never-sync
+    # chunk rate collapses to 65-77 ms/frame with ANY per-chunk fetch,
+    # payload size nearly irrelevant).  Draining Q chunks in one batched
+    # jax.device_get amortizes that round-trip Q-fold.  4 chunks x
+    # fused_chunk=4 = 16 frames aligns with the window-BA trigger period.
+    fused_drain_chunks: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -132,6 +132,19 @@ class FusedTracker:
 
             self.step_chunk = jax.jit(_chunk_step)
         self._pending_chunk = None
+        # Batched-drain machinery.  Every device->host fetch costs ~one
+        # tunnel round-trip ON THE CRITICAL PATH even from a background
+        # thread (the client serializes requests: the 30 ms/frame
+        # never-sync chunk rate collapses to 65-77 ms/frame with ANY
+        # per-chunk fetch, payload size nearly irrelevant).  So completed
+        # chunks accumulate in _pending_batch and drain Q at a time in ONE
+        # jax.device_get on the drainer thread.
+        self._drainer = None
+        from collections import deque
+
+        self._drain_futs = deque()
+        self._pending_batch = []
+        self.drain_chunks = max(int(cfg.tracking.fused_drain_chunks), 1)
         self.state = make_stream_state(cfg)
         # pre-split the whole run's PRNG keys ONCE; host-resident so no
         # per-frame device round-trip for jax.random.split
@@ -232,14 +245,14 @@ class FusedTracker:
         return out
 
     def _finish_frame(self, fd_p, T_cw_gt_p, fid_p, vec_np, t0_p):
-        """Archive one frame's unpacked outputs + fire the window-BA trigger."""
+        """Archive one frame's unpacked outputs + fire the window-BA trigger.
+
+        Must not touch self.frame_id: it runs on the drainer thread while
+        the main thread dispatches subsequent chunks."""
         sh = self.cfg.shapes
         host = _unpack_host(vec_np, sh.max_static, sh.max_dynamic,
                             sh.max_objects)
-        save_fid = self.frame_id
-        self.frame_id = fid_p
-        self._archive(fd_p, host, T_cw_gt_p)
-        self.frame_id = save_fid
+        self._archive(fd_p, host, T_cw_gt_p, fid_p)
         hm = host["metrics"]
         rep = {
             "frame_id": fid_p,
@@ -291,17 +304,34 @@ class FusedTracker:
         return self._finish_frame(fd_p, T_cw_gt_p, fid_p, np.asarray(vec),
                                   t0_p)
 
+    def _drain_batch_now(self, batch):
+        """Fetch + archive a BATCH of chunks' outputs in ONE device_get
+        (runs on the drainer thread in the chunked drive, inline at
+        flush)."""
+        all_vecs = jax.device_get([p[3] for p in batch])   # one round-trip
+        reps = []
+        for (fds, gts, fid0, _, t0_p, n_real), vecs_np in zip(batch,
+                                                              all_vecs):
+            vecs_np = np.asarray(vecs_np)
+            reps.extend(
+                self._finish_frame(fds[c], gts[c], fid0 + c, vecs_np[c],
+                                   t0_p)
+                for c in range(n_real)
+            )
+        return reps
+
     def _drain_pending_chunk(self):
-        """Archive the previous CHUNK's (async-copied) outputs, per frame."""
-        if self._pending_chunk is None:
-            return []
-        fds, gts, fid0, vecs, t0_p, n_real = self._pending_chunk
-        self._pending_chunk = None
-        vecs_np = np.asarray(vecs)              # (C, n) — copy in flight
-        return [
-            self._finish_frame(fds[c], gts[c], fid0 + c, vecs_np[c], t0_p)
-            for c in range(n_real)
-        ]
+        """Synchronously archive EVERYTHING still in flight, in order."""
+        reps = []
+        while self._drain_futs:
+            reps.extend(self._drain_futs.popleft().result())
+        if self._pending_chunk is not None:
+            self._pending_batch.append(self._pending_chunk)
+            self._pending_chunk = None
+        if self._pending_batch:
+            batch, self._pending_batch = self._pending_batch, []
+            reps.extend(self._drain_batch_now(batch))
+        return reps
 
     def _join_ba(self):
         if self._ba_thread is not None:
@@ -385,7 +415,23 @@ class FusedTracker:
         prefetched = prefetch_cb() if prefetch_cb is not None else None
         self._prefetched = prefetched
         vecs.copy_to_host_async()
-        reps = self._drain_pending_chunk()
+        # accumulate completed chunks; every Q-th, hand the batch to the
+        # drainer thread for ONE batched fetch + archive, and return
+        # whatever the drainer already finished
+        if self._pending_chunk is not None:
+            self._pending_batch.append(self._pending_chunk)
+            self._pending_chunk = None
+        if len(self._pending_batch) >= self.drain_chunks:
+            if self._drainer is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._drainer = ThreadPoolExecutor(1)
+            batch, self._pending_batch = self._pending_batch, []
+            self._drain_futs.append(
+                self._drainer.submit(self._drain_batch_now, batch))
+        reps = []
+        while self._drain_futs and self._drain_futs[0].done():
+            reps.extend(self._drain_futs.popleft().result())
         self._pending_chunk = (list(fds), gts, self.frame_id, vecs, t0,
                                n_real)
         self.frame_id += self.chunk
@@ -399,7 +445,7 @@ class FusedTracker:
         self._join_ba()
         return reps if reps else rep
 
-    def _archive(self, fd: FrameData, host: dict, T_cw_gt):
+    def _archive(self, fd: FrameData, host: dict, T_cw_gt, fid: int):
         m = self.map
         s_xy, s_d, s_3d, s_v, s_a = host["stat"]
         d_xy, d_d, d_3d, d_v, d_a, d_ol, d_sl = host["dyn"]
@@ -421,7 +467,7 @@ class FusedTracker:
         m.cam_pose_gt.append(_np_inv(np.asarray(T_cw_gt)))
         m.timings.append(self._stage_ms.copy())
 
-        if self.frame_id == 0:
+        if fid == 0:
             self._last_obj_rows = fd.obj_gt_rows
             self._last_T_wc_gt = _np_inv(np.asarray(T_cw_gt))
             return
