@@ -32,6 +32,10 @@ def main(argv=None):
                     default="reference",
                     help="reference = stage-by-stage host orchestration; "
                          "fused = whole frame in one device call")
+    ap.add_argument("--fast", action="store_true",
+                    help="apply the tpu_fast preset (measured best "
+                         "throughput at matched accuracy: split LM "
+                         "budget, 5 B/px wire, 6-iteration window BA)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -66,6 +70,10 @@ def main(argv=None):
         cfg = load_settings(args.settings)
         dataset = SequenceDataset(args.sequence)
 
+    if args.fast:
+        from .config import tpu_fast
+
+        cfg = tpu_fast(cfg)
     sysm = System(cfg, enable_local_ba=not args.no_local_ba,
                   enable_global_ba=not args.no_global_ba, mode=args.mode)
     sysm.run_sequence(dataset, max_frames=args.frames,
