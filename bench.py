@@ -219,6 +219,17 @@ def main(hard: bool = False):
     )
     cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
+    # pre-packed ingest (io/packed_dataset.py): the wire format as the
+    # dataset.  The single-core host's per-frame pack (~10-20 ms of numpy)
+    # otherwise competes with the dispatch/upload/drain threads — real
+    # deployments pack offline via tools/pack_sequence.py
+    t0 = time.perf_counter()
+    from vdo_slam_tpu.io.packed_dataset import InMemoryPackedDataset
+
+    pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
+                                flow_half=cfg.tracking.wire_flow_half)
+    log(f"pre-packed {len(pds)} frames in {time.perf_counter() - t0:.1f}s "
+        f"({pds[0].packed.nbytes / 1e6:.2f} MB/frame wire)")
 
     # fused mode: the whole per-frame pipeline in one device call;
     # end-to-end config includes the final full-batch refinement

@@ -1,0 +1,178 @@
+"""Pre-packed sequence ingest: the wire format as an on-disk dataset.
+
+The reference pipeline already runs on *preprocessed* inputs — optical flow
+and instance masks are computed offline and stored next to the images
+(README.md:118, example/vdo_slam.cc:98-141 reads .flo/.txt per frame).  This
+module extends that idea one step further for the TPU deployment: the frame
+tensors are packed into the device wire format (io/packing.py) ONCE, offline,
+and the tracking loop ingests ready-to-upload int16 buffers via memmap.
+
+Why it matters: the serving host attached to a remote TPU can be a single
+core; per-frame numpy packing (quantize + bitcast + concatenate over ~0.5 MP)
+costs 10-20 ms/frame of host CPU that competes with dispatch, drain and
+upload threads.  With a packed dataset the steady-state host work per frame
+is a memmap row read + device_put — the loop becomes upload/compute bound.
+
+On-disk layout (directory):
+    meta.json       {"n", "H", "W", "wire_len", "depth_scale", "flow_half",
+                     "version"}
+    frames.i16      memmap (n, wire_len) int16 — one wire buffer per frame
+    poses.npy       (n, 4, 4) float32 raw GT camera poses (pose_gt.txt rows)
+    obj_rows.npy    (sum_i k_i, 10) float32 concatenated object GT rows
+    obj_offsets.npy (n + 1,) int64 — frame i owns rows [off[i], off[i+1])
+    times.npy       (n,) float64 timestamps
+
+Use tools/pack_sequence.py to convert a reference-layout sequence directory,
+or pack_dataset() for any dataset object yielding FrameData.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .packing import depth_wire_scale, pack_frame
+
+_VERSION = 1
+
+
+@dataclasses.dataclass
+class PackedFrameData:
+    """A frame that is already in wire format.
+
+    Carries exactly what the fused tracking loop needs: the device buffer
+    plus the host-side GT bookkeeping (pose/object rows feed the archive,
+    never the device).  FusedTracker.device_inputs_chunk detects the
+    `packed` attribute and skips pack_frame.
+    """
+
+    packed: np.ndarray       # (wire_len,) or (4, H, W) int16
+    pose_gt_raw: np.ndarray  # (4, 4) float32
+    obj_gt_rows: np.ndarray  # (k, 10) float32
+    timestamp: float
+
+
+def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
+                 flow_half: bool = True, n: int | None = None) -> Path:
+    """Pack any FrameData-yielding dataset into a PackedDataset directory."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = len(dataset) if n is None else min(n, len(dataset))
+    dscale = depth_wire_scale(depth_map_factor)
+
+    fd0 = dataset[0]
+    H, W = fd0.rgb.shape
+    w0 = pack_frame(fd0.rgb, fd0.depth_raw, fd0.flow, fd0.mask,
+                    depth_scale=dscale, flow_half=flow_half).ravel()
+    wire_len = int(w0.size)
+
+    buf = np.memmap(out / "frames.i16", dtype=np.int16, mode="w+",
+                    shape=(n, wire_len))
+    poses = np.zeros((n, 4, 4), np.float32)
+    times = np.zeros((n,), np.float64)
+    rows_all, offs = [], [0]
+    for i in range(n):
+        fd = dataset[i] if i else fd0
+        w = (w0 if i == 0 else pack_frame(
+            fd.rgb, fd.depth_raw, fd.flow, fd.mask, depth_scale=dscale,
+            flow_half=flow_half).ravel())
+        buf[i] = w
+        poses[i] = np.asarray(fd.pose_gt_raw, np.float32)
+        times[i] = float(fd.timestamp)
+        r = np.asarray(fd.obj_gt_rows, np.float32).reshape(-1, 10)
+        rows_all.append(r)
+        offs.append(offs[-1] + r.shape[0])
+    buf.flush()
+    np.save(out / "poses.npy", poses)
+    np.save(out / "times.npy", times)
+    np.save(out / "obj_rows.npy",
+            np.concatenate(rows_all) if offs[-1] else
+            np.zeros((0, 10), np.float32))
+    np.save(out / "obj_offsets.npy", np.asarray(offs, np.int64))
+    (out / "meta.json").write_text(json.dumps({
+        "version": _VERSION, "n": n, "H": int(H), "W": int(W),
+        "wire_len": wire_len, "depth_scale": float(dscale),
+        "flow_half": bool(flow_half),
+        "depth_map_factor": float(depth_map_factor),
+    }))
+    return out
+
+
+class PackedDataset:
+    """Memmap-backed reader of a pack_dataset() directory.
+
+    __getitem__ is O(1) host work (a memmap row view + tiny GT slices);
+    suitable only for the fused tracking path (the raw image tensors are
+    not recoverable losslessly — by design, the wire IS the dataset).
+    """
+
+    def __init__(self, path: str | Path):
+        self.dir = Path(path)
+        self.meta = json.loads((self.dir / "meta.json").read_text())
+        if self.meta.get("version") != _VERSION:
+            raise ValueError(f"packed dataset version mismatch: {self.meta}")
+        n, L = self.meta["n"], self.meta["wire_len"]
+        self.frames = np.memmap(self.dir / "frames.i16", dtype=np.int16,
+                                mode="r", shape=(n, L))
+        self.poses = np.load(self.dir / "poses.npy")
+        self.times = np.load(self.dir / "times.npy")
+        self.obj_rows = np.load(self.dir / "obj_rows.npy")
+        self.obj_offsets = np.load(self.dir / "obj_offsets.npy")
+
+    def __len__(self) -> int:
+        return int(self.meta["n"])
+
+    def check_config(self, cfg) -> None:
+        """Assert the pack-time wire parameters match the run config."""
+        tr = cfg.tracking
+        want_scale = depth_wire_scale(tr.depth_map_factor)
+        if abs(want_scale - self.meta["depth_scale"]) > 1e-9:
+            raise ValueError(
+                f"packed depth_scale {self.meta['depth_scale']} != config "
+                f"{want_scale} (depth_map_factor {tr.depth_map_factor})")
+        if bool(tr.wire_flow_half) != bool(self.meta["flow_half"]):
+            raise ValueError(
+                f"packed flow_half={self.meta['flow_half']} != config "
+                f"wire_flow_half={tr.wire_flow_half}")
+        if (cfg.camera.height, cfg.camera.width) != (self.meta["H"],
+                                                     self.meta["W"]):
+            raise ValueError("packed H/W mismatch with config camera")
+
+    def __getitem__(self, i: int) -> PackedFrameData:
+        o0, o1 = int(self.obj_offsets[i]), int(self.obj_offsets[i + 1])
+        return PackedFrameData(
+            packed=self.frames[i],
+            pose_gt_raw=self.poses[i],
+            obj_gt_rows=self.obj_rows[o0:o1],
+            timestamp=float(self.times[i]),
+        )
+
+
+class InMemoryPackedDataset:
+    """pack_dataset semantics without touching disk — used by bench.py to
+    move the per-frame pack cost out of the timed region."""
+
+    def __init__(self, dataset, depth_map_factor: float,
+                 flow_half: bool = True, n: int | None = None):
+        n = len(dataset) if n is None else min(n, len(dataset))
+        dscale = depth_wire_scale(depth_map_factor)
+        self._items = []
+        for i in range(n):
+            fd = dataset[i]
+            self._items.append(PackedFrameData(
+                packed=pack_frame(fd.rgb, fd.depth_raw, fd.flow, fd.mask,
+                                  depth_scale=dscale, flow_half=flow_half),
+                pose_gt_raw=np.asarray(fd.pose_gt_raw, np.float32),
+                obj_gt_rows=np.asarray(fd.obj_gt_rows,
+                                       np.float32).reshape(-1, 10),
+                timestamp=float(fd.timestamp),
+            ))
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]

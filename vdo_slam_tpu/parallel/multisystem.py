@@ -97,14 +97,19 @@ class MultiStreamSystem:
     def _stage(self, fds) -> dict:
         """One stacked (S,4,H,W) packed upload for all streams."""
         scale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
-        packed = np.stack([
-            pack_frame(np.asarray(fd.rgb, np.float32),
-                       np.asarray(fd.depth_raw, np.float32),
-                       np.asarray(fd.flow, np.float32),
-                       np.asarray(fd.mask), depth_scale=scale,
-                       flow_half=self.cfg.tracking.wire_flow_half)
-            for fd in fds
-        ])
+
+        def _wire(fd):
+            # pre-packed frames (io/packed_dataset.py) skip the host pack
+            pre = getattr(fd, "packed", None)
+            if pre is not None:
+                return pre
+            return pack_frame(np.asarray(fd.rgb, np.float32),
+                              np.asarray(fd.depth_raw, np.float32),
+                              np.asarray(fd.flow, np.float32),
+                              np.asarray(fd.mask), depth_scale=scale,
+                              flow_half=self.cfg.tracking.wire_flow_half)
+
+        packed = np.stack([_wire(fd) for fd in fds])
         gts = [t._gt_pose(fd.pose_gt_raw)
                for t, fd in zip(self.trackers, fds)]
         staged = self._shard({

@@ -190,8 +190,9 @@ class FusedTracker:
         T_cw_gt = self._gt_pose(fd.pose_gt_raw)
         from ..io.packing import depth_wire_scale
 
+        pre = getattr(fd, "packed", None)
         staged = jax.device_put({
-            "packed": pack_frame(
+            "packed": pre if pre is not None else pack_frame(
                 np.asarray(fd.rgb, np.float32),
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
@@ -375,7 +376,10 @@ class FusedTracker:
         packs, gts = [], []
         for fd in fds:
             gts.append(self._gt_pose(fd.pose_gt_raw))
-            packs.append(pack_frame(
+            # pre-packed frames (io/packed_dataset.py) skip the per-frame
+            # host pack entirely — the wire IS the dataset
+            pre = getattr(fd, "packed", None)
+            packs.append(pre if pre is not None else pack_frame(
                 np.asarray(fd.rgb, np.float32),
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
