@@ -125,11 +125,11 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     for i in range(WARM, n_frames):
         fut = (uploader.submit(msys._stage, [d[i + 1] for d in datasets])
                if i + 1 < n_frames else None)
-        msys.step_frame([d[i] for d in datasets], staged)
+        # pipelined: outputs drain Q frames at a time on the drainer thread
+        msys.step_frame([d[i] for d in datasets], staged, sync=False)
         staged = fut.result() if fut is not None else None
+    msys.flush()
     uploader.shutdown(wait=True)
-    for t in msys.trackers:
-        t._join_ba()
     elapsed = time.perf_counter() - t0
     n_done = (n_frames - WARM) * n_streams
     fps = n_done / elapsed

@@ -171,6 +171,23 @@ class TestLM:
         v, info = lm_solve(g, v0, p)
         assert float(info["cost"]) < 0.05 * float(info["cost0"])
 
+    def test_chunked_runs_exactly_p_iters(self):
+        """lm_solve_chunked must honor a budget that is not a multiple of
+        the chunk size (the tail chunk runs the remainder) and match the
+        single-call solve bit-for-bit on the LM trajectory."""
+        from vdo_slam_tpu.backend.factor_graph import lm_solve_chunked
+
+        g, v0, _, _ = self._pose_chain_problem()
+        p = LMParams(iters=5, cg_iters=20, robust=False)
+        v_c, info_c = lm_solve_chunked(g, v0, p, chunk=3)
+        assert info_c["iters_run"] == 5
+        v_s, info_s = lm_solve(
+            g, v0, p, lam0=jnp.asarray(p.lambda_init, jnp.float32))
+        np.testing.assert_allclose(np.asarray(v_c.poses),
+                                   np.asarray(v_s.poses), atol=1e-6)
+        assert float(info_c["cost"]) == pytest.approx(
+            float(info_s["cost"]), rel=1e-6)
+
     def test_huber_suppresses_outlier_observations(self):
         g, v0, poses_gt, pts_gt = self._pose_chain_problem()
         # corrupt a handful of observation measurements grossly

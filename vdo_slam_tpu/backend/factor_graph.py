@@ -603,7 +603,6 @@ def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
     re-evaluation."""
     import math
 
-    p_chunk = dataclasses.replace(p, iters=chunk)
     v = v0
     # concrete lam0 from the start: lam0=None vs lam0=<array> trace to two
     # DIFFERENT executables — passing an array for chunk 0 halves compiles
@@ -613,9 +612,13 @@ def lm_solve_chunked(g: Graph, v0: Variables, p: LMParams,
     cost0 = None
     stats0 = None
     for i in range(math.ceil(p.iters / chunk)):
-        v, info = lm_solve(g, v, p_chunk, lam0=lam)
+        # honor p.iters exactly: the tail chunk runs the remainder (a
+        # non-multiple budget compiles a second, shorter program for it)
+        n_it = min(chunk, p.iters - total)
+        v, info = lm_solve(g, v, dataclasses.replace(p, iters=n_it),
+                           lam0=lam)
         lam = info["lam"]
-        total += chunk
+        total += n_it
         if cost0 is None:
             cost0 = float(info["cost0"])
             stats0 = info["stats0"]
@@ -839,8 +842,7 @@ def lm_solve_sharded_chunked(g: Graph, v0: Variables, p: LMParams, mesh,
     import math
 
     g = _pad_edges_for_mesh(g, mesh.shape[axis])
-    p_chunk = dataclasses.replace(p, iters=chunk)
-    fn = _sharded_lm_fn(p_chunk, mesh, axis)
+    fns: dict[int, object] = {}
     v = v0
     lam = jnp.asarray(p.lambda_init, jnp.float32)
     info = {}
@@ -848,9 +850,14 @@ def lm_solve_sharded_chunked(g: Graph, v0: Variables, p: LMParams, mesh,
     cost0 = None
     stats0 = None
     for i in range(math.ceil(p.iters / chunk)):
-        v, info = fn(g, v, lam)
+        # honor p.iters exactly (tail chunk runs the remainder)
+        n_it = min(chunk, p.iters - total)
+        if n_it not in fns:
+            fns[n_it] = _sharded_lm_fn(
+                dataclasses.replace(p, iters=n_it), mesh, axis)
+        v, info = fns[n_it](g, v, lam)
         lam = info["lam"]
-        total += chunk
+        total += n_it
         if cost0 is None:
             cost0 = float(info["cost0"])
             stats0 = info["stats0"]

@@ -42,6 +42,28 @@ def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
     )
 
 
+def _scaled_cg(cg: int, n_obs: int) -> int:
+    """Step the PCG budget up as the graph shrinks (measured, DESIGN §11):
+    cfg.cg_iters=12 saturates the 227k-obs bench graph (identical cost and
+    RPE vs 24 at -29% solve time), but small graphs under-converge — on the
+    8-frame test map cg 12/24/48 give refined obj rotation 3.8e-2/2.5e-2/
+    1.2e-2 deg — and their CG iterations are nearly free."""
+    if n_obs < 32768:
+        return max(cg, 48)
+    if n_obs < 131072:
+        return max(cg, 24)
+    return cg
+
+
+def scaled_lm_params(cfg: VDOConfig, n_obs: int,
+                     iters: int | None = None) -> LMParams:
+    """LMParams with the size-scaled CG budget for a graph whose (padded)
+    camera-observation edge count is n_obs.  Warmup and the real solve must
+    both use this so they compile the same executable."""
+    p = _lm_params(cfg, iters)
+    return dataclasses.replace(p, cg_iters=_scaled_cg(p.cg_iters, n_obs))
+
+
 def warmup_full_ba(cfg: VDOConfig, n_frames: int) -> None:
     """Compile AND first-execute the full-BA program on a zero-weight graph
     with the exact shapes full_ba_inplace will use for an n_frames archive.
@@ -52,7 +74,8 @@ def warmup_full_ba(cfg: VDOConfig, n_frames: int) -> None:
     afterwards the real solve runs warm (~1.5 s per chunk).  Raises
     ValueError if the caps are unset."""
     g, v = empty_full_graph(cfg, n_frames)
-    p = dataclasses.replace(_lm_params(cfg), iters=FULL_BA_CHUNK)
+    p = dataclasses.replace(scaled_lm_params(cfg, g.obs_w.shape[0]),
+                            iters=FULL_BA_CHUNK)
     lam = jnp.asarray(p.lambda_init, jnp.float32)
     _, info = lm_solve(g, v, p, lam0=lam)
     float(jax.device_get(info["cost"]))  # block until loaded + executed
@@ -61,7 +84,7 @@ def warmup_full_ba(cfg: VDOConfig, n_frames: int) -> None:
 def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> dict:
     t0 = time.perf_counter()
     graph, v0, meta = build_full_graph(m, cfg)
-    p = _lm_params(cfg, iters)
+    p = scaled_lm_params(cfg, graph.obs_w.shape[0], iters)
     v0 = Variables(
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),

@@ -184,7 +184,13 @@ class BackendConfig:
     smooth_constraint: bool = True
     altitude_constraint: bool = False
     local_static_only: bool = True     # STATIC_ONLY=true in local BA (Optimizer.cc:211)
-    cg_iters: int = 24                 # matrix-free PCG budget (full BA)
+    # Matrix-free PCG budget per LM iteration (full BA).  Round-3 sweep on
+    # the 114k-point bench graph (9 LM iters): cg 24 -> 12 cuts the solve
+    # 5.2 -> 3.7 s at identical final cost (0.6312) and equal-or-better
+    # RPE on all four axes; cg 8/6 keep shaving time but object rotation
+    # starts degrading (1.97e-3 -> 2.08e-3/2.11e-3 deg).  The block-Jacobi
+    # preconditioner makes the inner solves over-converge beyond ~12.
+    cg_iters: int = 12
     cg_tol: float = 1e-6
     # Optional fixed capacities for the FULL graph (obs edges, ternary edges,
     # point vertices, motion vertices, smoothness edges).  When set, graph

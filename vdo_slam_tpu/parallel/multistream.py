@@ -246,8 +246,14 @@ def make_stage_probe(cfg: VDOConfig):
 
         def sync(tree):
             # device_get of one leaf forces completion (block_until_ready
-            # does not reliably sync on the axon tunnel)
-            _np.asarray(jax.device_get(jax.tree.leaves(tree)[0]))
+            # does not reliably sync on the axon tunnel).  Fetch the
+            # SMALLEST leaf: all outputs of one executable materialize
+            # together, and pulling a (H, W) map instead would bill the
+            # stage ~30 ms of pure wire transfer (measured: the depth-map
+            # leaf inflated mask_update ~4x).
+            leaves = jax.tree.leaves(tree)
+            smallest = min(leaves, key=lambda a: getattr(a, "nbytes", 1 << 30))
+            _np.asarray(jax.device_get(smallest))
 
         def timed(name, fn, *args):
             t0 = _time.perf_counter()

@@ -89,6 +89,15 @@ class MultiStreamSystem:
         )
         self.states = self._shard(self.states)
         self.frame_id = 0
+        # batched-drain pipeline (same rationale as FusedTracker: every
+        # device->host fetch costs ~one tunnel round-trip on the critical
+        # path; drain Q frames in ONE device_get on a drainer thread)
+        from collections import deque
+
+        self._pending: deque = deque()
+        self._drain_futs: deque = deque()
+        self._drainer = None
+        self.drain_every = max(int(cfg.tracking.fused_drain_chunks), 1)
 
     @property
     def maps(self):
@@ -119,9 +128,16 @@ class MultiStreamSystem:
         staged["_gts_host"] = gts
         return staged
 
-    def step_frame(self, fds, staged: dict | None = None) -> list[dict]:
+    def step_frame(self, fds, staged: dict | None = None,
+                   sync: bool = True) -> list[dict]:
         """Process one frame for every stream (ONE device call); archives
-        per stream and returns per-stream reports."""
+        per stream and returns per-stream reports.
+
+        sync=False pipelines the output drain: the frame's packed vectors
+        start an async copy, every `drain_every`-th frame the accumulated
+        batch is fetched in ONE device_get on the drainer thread, and the
+        return value is whatever frames the drainer has finished (a list of
+        per-stream report lists).  Call flush() at the end of the run."""
         t0 = time.perf_counter()
         if staged is None:
             staged = self._stage(fds)
@@ -131,14 +147,56 @@ class MultiStreamSystem:
             jnp.asarray(t._keys[fid % t.MAX_FRAMES]) for t in self.trackers
         ])
         self.states, vecs = self.step(self.states, staged, keys)
-        vecs_np = np.asarray(vecs)  # (S, n)
+        self.frame_id += 1
+        for t in self.trackers:
+            t.frame_id = fid + 1
+        if sync:
+            vecs_np = np.asarray(vecs)  # (S, n)
+            return self._archive_frame(fds, gts, fid, vecs_np, t0)
+        vecs.copy_to_host_async()
+        self._pending.append((list(fds), gts, fid, vecs, t0))
+        done: list = []
+        if len(self._pending) >= self.drain_every:
+            if self._drainer is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._drainer = ThreadPoolExecutor(1)
+            batch = list(self._pending)
+            self._pending.clear()
+            self._drain_futs.append(
+                self._drainer.submit(self._drain_batch, batch))
+        while self._drain_futs and self._drain_futs[0].done():
+            done.extend(self._drain_futs.popleft().result())
+        return done
+
+    def _archive_frame(self, fds, gts, fid, vecs_np, t0) -> list[dict]:
         reps = []
         for s, t in enumerate(self.trackers):
-            rep = t._finish_frame(fds[s], gts[s], fid, vecs_np[s], t0)
-            t.frame_id = fid + 1
-            reps.append(rep)
-        self.frame_id += 1
+            reps.append(t._finish_frame(fds[s], gts[s], fid, vecs_np[s], t0))
         return reps
+
+    def _drain_batch(self, batch) -> list[list[dict]]:
+        """ONE device_get for a batch of frames' (S, n) output vectors,
+        then archive per stream in frame order (runs on the drainer)."""
+        all_vecs = jax.device_get([b[3] for b in batch])
+        out = []
+        for (fds, gts, fid, _, t0), vn in zip(batch, all_vecs):
+            vn = np.asarray(vn)
+            out.append(self._archive_frame(fds, gts, fid, vn, t0))
+        return out
+
+    def flush(self) -> list[list[dict]]:
+        """Drain every in-flight frame (ordered) and join window solves."""
+        done: list = []
+        while self._drain_futs:
+            done.extend(self._drain_futs.popleft().result())
+        if self._pending:
+            batch = list(self._pending)
+            self._pending.clear()
+            done.extend(self._drain_batch(batch))
+        for t in self.trackers:
+            t._join_ba()
+        return done
 
     def run(self, datasets, max_frames: int | None = None,
             verbose: bool = False) -> list[list[dict]]:
@@ -151,6 +209,15 @@ class MultiStreamSystem:
         if max_frames is not None:
             n = min(n, max_frames)
         all_reps: list[list[dict]] = [[] for _ in range(self.S)]
+
+        def _show(frame_reps):
+            for s, r in enumerate(frame_reps):
+                all_reps[s].append(r)
+            if verbose and "t_rpe" in frame_reps[0]:
+                print(f"frame {frame_reps[0]['frame_id']}: " + "  ".join(
+                    f"s{s}: t={r['t_rpe']:.4f}"
+                    for s, r in enumerate(frame_reps)))
+
         staged = self._stage([d[0] for d in datasets]) if n else None
         # next frame's pack + device_put on a dedicated thread: uploads
         # issued from the dispatching thread serialize with in-flight
@@ -162,18 +229,13 @@ class MultiStreamSystem:
                 nxt = ([d[i + 1] for d in datasets]) if i + 1 < n else None
                 fut = (uploader.submit(self._stage, nxt)
                        if nxt is not None else None)
-                reps = self.step_frame(fds, staged)
+                for frame_reps in self.step_frame(fds, staged, sync=False):
+                    _show(frame_reps)
                 staged = fut.result() if fut is not None else None
-                for s, r in enumerate(reps):
-                    all_reps[s].append(r)
-                if verbose and "t_rpe" in reps[0]:
-                    print(f"frame {i}: " + "  ".join(
-                        f"s{s}: t={r['t_rpe']:.4f}"
-                        for s, r in enumerate(reps)))
         finally:
             uploader.shutdown(wait=True)
-        for t in self.trackers:
-            t._join_ba()
+        for frame_reps in self.flush():
+            _show(frame_reps)
         return all_reps
 
     def metrics(self, refined: bool = False) -> dict:
