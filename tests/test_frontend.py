@@ -425,3 +425,49 @@ class TestWirePacking:
         # even pixels: exact to fp16; everywhere: bilinear of a smooth field
         assert np.abs(f2[0::2, 0::2] - flow[0::2, 0::2]).max() < 2e-2
         assert np.abs(f2 - flow).max() < 5e-2, np.abs(f2 - flow).max()
+
+    def test_flow_quarter_wire(self):
+        """flow_down=4: 4.25 B/px flat wire.  Rigid motion induces an
+        affine-in-pixel flow field per label; the two-stage seg-aware
+        bilinear reconstruction is EXACT (to fp16) for a per-label affine
+        field in each label's interior, including across the object
+        boundary where plain bilinear would smear."""
+        import jax.numpy as jnp
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(2)
+        H, W = 47, 63
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        depth = rng.uniform(0, 80, (H, W)).astype(np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        # label 0 = background, label 1 = a box; DIFFERENT affine fields
+        seg = np.zeros((H, W), np.int32)
+        seg[12:36, 20:48] = 1
+        bg = np.stack([2.0 + 0.02 * xx - 0.01 * yy,
+                       -1.0 + 0.015 * yy + 0.005 * xx], axis=-1)
+        ob = np.stack([-8.0 - 0.03 * xx + 0.02 * yy,
+                       6.0 - 0.01 * yy - 0.02 * xx], axis=-1)
+        flow = np.where((seg == 1)[..., None], ob, bg).astype(np.float32)
+        scale = depth_wire_scale(1.0)
+        buf = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                         flow_down=4)
+        Hq, Wq = (H + 3) // 4, (W + 3) // 4
+        assert buf.shape == (2 * H * W + 2 * Hq * Wq,)
+        g2, d2, f2, s2 = (np.asarray(x) for x in unpack_frame(
+            jnp.asarray(buf), depth_scale=scale, flow_down=4, hw=(H, W)))
+        np.testing.assert_array_equal(s2, seg)
+        assert np.abs(g2 - gray).max() <= 0.5 / 255 + 1e-6
+        assert np.abs(d2 - depth).max() <= 0.5 / 256 + 1e-5
+        # every 4th pixel: carried exactly (to fp16)
+        assert np.abs(f2[0::4, 0::4] - flow[0::4, 0::4]).max() < 2e-2
+        # interior of each label (away from coarse cells that straddle the
+        # boundary with no same-label support): affine-exact reconstruction
+        interior = np.zeros((H, W), bool)
+        interior[2:10, 2:16] = True       # pure background block
+        interior[16:32, 24:44] = True     # pure object block
+        err = np.abs(f2 - flow)[interior]
+        assert err.max() < 3e-2, err.max()
+        # global sanity: bounded even at the boundary cells
+        assert np.abs(f2 - flow).max() < 0.6

@@ -104,6 +104,17 @@ class TrackingConfig:
     # the interpolation error is below the fp16 wire noise away from motion
     # boundaries.  Off by default (exact-parity wire); tpu_fast() opts in.
     wire_flow_half: bool = False
+    # flow wire downsample factor: 0 = derive from wire_flow_half (1 or 2);
+    # 4 = quarter-res flow (4.25 B/px wire).  The fp16 flow mantissas are
+    # the only channel the tunnel's compression can't shrink, so down=4
+    # cuts the post-compression upload ~4x on the flow share (~75% of the
+    # shipped bytes on the bench scene).  The device reconstruction stays
+    # seg-aware and affine-exact in object interiors (io/packing.py).
+    wire_flow_down: int = 0
+
+    @property
+    def flow_down(self) -> int:
+        return self.wire_flow_down or (2 if self.wire_flow_half else 1)
     # chunks per output drain: every device->host fetch costs ~1 tunnel
     # round-trip ON THE CRITICAL PATH even from a background thread (the
     # client serializes requests; measured: the 30 ms/frame never-sync

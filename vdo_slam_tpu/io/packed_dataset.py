@@ -56,17 +56,21 @@ class PackedFrameData:
 
 
 def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
-                 flow_half: bool = True, n: int | None = None) -> Path:
+                 flow_half: bool = True, n: int | None = None,
+                 flow_down: int | None = None) -> Path:
     """Pack any FrameData-yielding dataset into a PackedDataset directory."""
+    from .packing import _norm_flow_down
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     n = len(dataset) if n is None else min(n, len(dataset))
     dscale = depth_wire_scale(depth_map_factor)
+    down = _norm_flow_down(flow_half, flow_down)
 
     fd0 = dataset[0]
     H, W = fd0.rgb.shape
     w0 = pack_frame(fd0.rgb, fd0.depth_raw, fd0.flow, fd0.mask,
-                    depth_scale=dscale, flow_half=flow_half).ravel()
+                    depth_scale=dscale, flow_down=down).ravel()
     wire_len = int(w0.size)
 
     buf = np.memmap(out / "frames.i16", dtype=np.int16, mode="w+",
@@ -78,7 +82,7 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
         fd = dataset[i] if i else fd0
         w = (w0 if i == 0 else pack_frame(
             fd.rgb, fd.depth_raw, fd.flow, fd.mask, depth_scale=dscale,
-            flow_half=flow_half).ravel())
+            flow_down=down).ravel())
         buf[i] = w
         poses[i] = np.asarray(fd.pose_gt_raw, np.float32)
         times[i] = float(fd.timestamp)
@@ -95,7 +99,7 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
     (out / "meta.json").write_text(json.dumps({
         "version": _VERSION, "n": n, "H": int(H), "W": int(W),
         "wire_len": wire_len, "depth_scale": float(dscale),
-        "flow_half": bool(flow_half),
+        "flow_half": down == 2, "flow_down": down,
         "depth_map_factor": float(depth_map_factor),
     }))
     return out
@@ -133,10 +137,12 @@ class PackedDataset:
             raise ValueError(
                 f"packed depth_scale {self.meta['depth_scale']} != config "
                 f"{want_scale} (depth_map_factor {tr.depth_map_factor})")
-        if bool(tr.wire_flow_half) != bool(self.meta["flow_half"]):
+        packed_down = int(self.meta.get(
+            "flow_down", 2 if self.meta.get("flow_half") else 1))
+        if tr.flow_down != packed_down:
             raise ValueError(
-                f"packed flow_half={self.meta['flow_half']} != config "
-                f"wire_flow_half={tr.wire_flow_half}")
+                f"packed flow_down={packed_down} != config "
+                f"flow_down={tr.flow_down}")
         if (cfg.camera.height, cfg.camera.width) != (self.meta["H"],
                                                      self.meta["W"]):
             raise ValueError("packed H/W mismatch with config camera")
@@ -156,7 +162,8 @@ class InMemoryPackedDataset:
     move the per-frame pack cost out of the timed region."""
 
     def __init__(self, dataset, depth_map_factor: float,
-                 flow_half: bool = True, n: int | None = None):
+                 flow_half: bool = True, n: int | None = None,
+                 flow_down: int | None = None):
         n = len(dataset) if n is None else min(n, len(dataset))
         dscale = depth_wire_scale(depth_map_factor)
         self._items = []
@@ -164,7 +171,8 @@ class InMemoryPackedDataset:
             fd = dataset[i]
             self._items.append(PackedFrameData(
                 packed=pack_frame(fd.rgb, fd.depth_raw, fd.flow, fd.mask,
-                                  depth_scale=dscale, flow_half=flow_half),
+                                  depth_scale=dscale, flow_half=flow_half,
+                                  flow_down=flow_down),
                 pose_gt_raw=np.asarray(fd.pose_gt_raw, np.float32),
                 obj_gt_rows=np.asarray(fd.obj_gt_rows,
                                        np.float32).reshape(-1, 10),

@@ -38,33 +38,47 @@ def depth_wire_scale(depth_map_factor: float) -> float:
     return 256.0 / float(depth_map_factor)
 
 
+def _norm_flow_down(flow_half: bool, flow_down: int | None) -> int:
+    """Normalize the (flow_half legacy bool, flow_down factor) pair to a
+    downsample factor in {1, 2, 4}."""
+    d = int(flow_down) if flow_down is not None else (2 if flow_half else 1)
+    if d not in (1, 2, 4):
+        raise ValueError(f"flow_down must be 1, 2 or 4, got {d}")
+    return d
+
+
 def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
                seg: np.ndarray, depth_scale: float = 1.0,
-               flow_half: bool = False) -> np.ndarray:
+               flow_half: bool = False,
+               flow_down: int | None = None) -> np.ndarray:
     """Host-side pack: (H,W) gray [0,1], (H,W) raw depth samples,
     (H,W,2) float flow, (H,W) int labels -> (4,H,W) int16.
 
     depth_scale: see depth_wire_scale — raw samples are stored as
     round(depth_raw * depth_scale) in u16.
 
-    flow_half: carry flow at HALF resolution (even-pixel samples, fp16) and
-    bilinearly upsample on device — the wire drops from 8 to 5 bytes/pixel
-    (the tunnel to the remote chip is bandwidth-bound and the upload is the
-    tracking loop's critical path).  Flow is consumed at sparse gather
-    positions and for the mask warp; it is smooth away from motion
-    boundaries, where interpolation error stays well under the fp16 wire
-    noise.  Returns a FLAT int16 vector (see flow_half wire layout below)
+    flow_half / flow_down: carry flow DOWNSAMPLED by 2 or 4 (every 2nd/4th
+    pixel, fp16) and bilinearly upsample on device — the wire drops from 8
+    to 5 (down=2) or 4.25 (down=4) bytes/pixel, and since the fp16 flow
+    mantissas are the wire's only incompressible channel (the tunnel
+    zlib-compresses: gray/seg/depth shrink 10-200x, flow barely), the
+    POST-COMPRESSION payload the tunnel actually ships drops ~2x/~4x.
+    Flow is consumed at sparse gather positions and for the mask warp; it
+    is smooth away from motion boundaries, where interpolation error stays
+    well under the fp16 wire noise (the device upsample is seg-aware, see
+    _upsample2x_seg).  flow_half=True is the legacy spelling of
+    flow_down=2.  Returns a FLAT int16 vector for down>1 (layout:
+    [gray|seg (H*W), depth (H*W), flow_u (Hd*Wd), flow_v (Hd*Wd)])
     instead of (4,H,W)."""
+    d = _norm_flow_down(flow_half, flow_down)
     g8 = np.clip(np.rint(gray * 255.0), 0, 255).astype(np.uint16)
     s8 = np.clip(seg, 0, 255).astype(np.uint16)
     ch0 = (g8 | (s8 << 8)).astype(np.int16)
     ch1 = np.clip(np.rint(depth_raw * depth_scale), 0,
                   65535).astype(np.uint16).view(np.int16)
-    if flow_half:
-        # layout: [gray|seg (H*W), depth (H*W), flow_u (Hh*Wh), flow_v
-        # (Hh*Wh)] — 2.5 int16/px = 5 B/px
+    if d > 1:
         fh = np.ascontiguousarray(
-            flow[0::2, 0::2].astype(np.float16)).view(np.int16)
+            flow[0::d, 0::d].astype(np.float16)).view(np.int16)
         return np.concatenate([ch0.ravel(), ch1.ravel(),
                                fh[..., 0].ravel(), fh[..., 1].ravel()])
     f = np.ascontiguousarray(flow.astype(np.float16)).view(np.int16)
@@ -128,17 +142,22 @@ def _upsample2x_seg(f, seg):
 
 
 def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
-                 hw: tuple[int, int] | None = None):
-    """Device-side unpack: (4,H,W) int16 — or the flat flow_half layout,
+                 hw: tuple[int, int] | None = None,
+                 flow_down: int | None = None):
+    """Device-side unpack: (4,H,W) int16 — or the flat flow_down>1 layout,
     with hw=(H,W) — -> (gray f32, depth_raw f32, flow f32 (H,W,2), seg i32).
-    Pure elementwise (+ the 2x flow upsample in flow_half mode) — XLA fuses
-    it into the first consumers, so the unpack is effectively free."""
+    Pure elementwise (+ the seg-aware flow upsample for flow_down>1, applied
+    log2(down) times; bilinear-of-bilinear on the 2x grids stays exact for
+    the affine-in-pixel flow a rigid motion induces, so down=4 keeps the
+    interior reconstruction exact) — XLA fuses it into the first consumers,
+    so the unpack is effectively free."""
     import jax
     import jax.numpy as jnp
 
-    if flow_half:
+    d = _norm_flow_down(flow_half, flow_down)
+    if d > 1:
         H, W = hw
-        Hh, Wh = (H + 1) // 2, (W + 1) // 2
+        Hd, Wd = (H + d - 1) // d, (W + d - 1) // d
         n = H * W
         u = jax.lax.bitcast_convert_type(buf, jnp.uint16)
         c0 = u[:n].reshape(H, W)
@@ -148,9 +167,18 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
             1.0 / depth_scale)
         fh = jax.lax.bitcast_convert_type(
             buf[2 * n:], jnp.float16).astype(jnp.float32)
-        f = jnp.stack([fh[:Hh * Wh].reshape(Hh, Wh),
-                       fh[Hh * Wh:].reshape(Hh, Wh)], axis=-1)
-        flow = _upsample2x_seg(f, seg)[:H, :W]
+        f = jnp.stack([fh[:Hd * Wd].reshape(Hd, Wd),
+                       fh[Hd * Wd:].reshape(Hd, Wd)], axis=-1)
+        # upsample 2x at a time; stage s consumes the seg labels subsampled
+        # to its OUTPUT grid so every mix stays label-consistent
+        lvl = d
+        while lvl > 1:
+            lvl //= 2
+            seg_s = seg[0::lvl, 0::lvl]
+            hs = (H + lvl - 1) // lvl
+            ws = (W + lvl - 1) // lvl
+            f = _upsample2x_seg(f, seg_s)[:hs, :ws]
+        flow = f
         return gray, depth, flow, seg
     u = jax.lax.bitcast_convert_type(buf, jnp.uint16)  # raw bit patterns
     gray = (u[0] & 0xFF).astype(jnp.float32) * (1.0 / 255.0)

@@ -185,7 +185,7 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
             gray, depth_raw, flow, seg = unpack_frame(
                 inputs["packed"],
                 depth_scale=depth_wire_scale(tr.depth_map_factor),
-                flow_half=tr.wire_flow_half,
+                flow_down=tr.flow_down,
                 hw=(cfg.camera.height, cfg.camera.width))
             inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                       "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}

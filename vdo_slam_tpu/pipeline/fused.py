@@ -199,7 +199,7 @@ class FusedTracker:
                 np.asarray(fd.mask),
                 depth_scale=depth_wire_scale(
                     self.cfg.tracking.depth_map_factor),
-                flow_half=self.cfg.tracking.wire_flow_half),
+                flow_down=self.cfg.tracking.flow_down),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
         })
         staged["_T_cw_gt_host"] = T_cw_gt
@@ -225,7 +225,7 @@ class FusedTracker:
         gray, depth_raw, flow, seg = unpack_frame(
             staged["packed"],
             depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor),
-            flow_half=self.cfg.tracking.wire_flow_half,
+            flow_down=self.cfg.tracking.flow_down,
             hw=(self.cfg.camera.height, self.cfg.camera.width))
         inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                   "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
@@ -384,7 +384,7 @@ class FusedTracker:
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
                 np.asarray(fd.mask), depth_scale=dscale,
-                flow_half=self.cfg.tracking.wire_flow_half))
+                flow_down=self.cfg.tracking.flow_down))
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),
