@@ -19,7 +19,6 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -63,7 +62,7 @@ def main(n_frames: int = 48):
     cfg = tpu_fast(cfg)
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
-                                flow_half=cfg.tracking.wire_flow_half)
+                                flow_down=cfg.tracking.flow_down)
 
     sysm = System(cfg, enable_local_ba=False, mode="fused")
     tr = sysm.tracker
@@ -90,7 +89,7 @@ def main(n_frames: int = 48):
         fut = (uploader.submit(tr.device_inputs_chunk, chunks[i + 1])
                if i + 1 < n_chunks else None)
         t1 = time.perf_counter()
-        reps = tr.grab_chunk(chunks[i], staged)
+        tr.grab_chunk(chunks[i], staged)
         t2 = time.perf_counter()
         staged = fut.result() if fut is not None else None
         t3 = time.perf_counter()

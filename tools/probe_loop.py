@@ -22,7 +22,6 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -66,7 +65,7 @@ def main(n_frames: int = 48):
     cfg = tpu_fast(cfg)
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
-                                flow_half=cfg.tracking.wire_flow_half)
+                                flow_down=cfg.tracking.flow_down)
     log(f"wire: {pds[0].packed.nbytes / 1e6:.2f} MB/frame")
 
     sysm = System(cfg, enable_local_ba=False, mode="fused")

@@ -112,6 +112,15 @@ class TrackingConfig:
     # seg-aware and affine-exact in object interiors (io/packing.py).
     wire_flow_down: int = 0
 
+    def __post_init__(self):
+        # fail at config time, not deep inside pack/trace (io/packing.py
+        # _norm_flow_down supports exactly these factors; a negative value
+        # would even bypass the `or` fallback in flow_down below)
+        if self.wire_flow_down not in (0, 1, 2, 4):
+            raise ValueError(
+                f"wire_flow_down must be one of 0 (derive from "
+                f"wire_flow_half), 1, 2, 4 — got {self.wire_flow_down}")
+
     @property
     def flow_down(self) -> int:
         return self.wire_flow_down or (2 if self.wire_flow_half else 1)

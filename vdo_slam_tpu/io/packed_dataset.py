@@ -15,7 +15,11 @@ is a memmap row read + device_put — the loop becomes upload/compute bound.
 
 On-disk layout (directory):
     meta.json       {"n", "H", "W", "wire_len", "depth_scale", "flow_half",
-                     "version"}
+                     "flow_down", "depth_map_factor", "version"}
+                    version 1 = flow_down in {1, 2} (the flow_half wire);
+                    version 2 = flow_down == 4 (quarter-res flow layout —
+                    a v1-era reader would misparse the flat wire, so down=4
+                    packs are stamped with the higher version on purpose)
     frames.i16      memmap (n, wire_len) int16 — one wire buffer per frame
     poses.npy       (n, 4, 4) float32 raw GT camera poses (pose_gt.txt rows)
     obj_rows.npy    (sum_i k_i, 10) float32 concatenated object GT rows
@@ -36,7 +40,8 @@ import numpy as np
 
 from .packing import depth_wire_scale, pack_frame
 
-_VERSION = 1
+_VERSION = 1          # flow_down in {1, 2}
+_VERSION_DOWN4 = 2    # flow_down == 4 (different wire layout; see docstring)
 
 
 @dataclasses.dataclass
@@ -97,7 +102,8 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
             np.zeros((0, 10), np.float32))
     np.save(out / "obj_offsets.npy", np.asarray(offs, np.int64))
     (out / "meta.json").write_text(json.dumps({
-        "version": _VERSION, "n": n, "H": int(H), "W": int(W),
+        "version": _VERSION_DOWN4 if down == 4 else _VERSION,
+        "n": n, "H": int(H), "W": int(W),
         "wire_len": wire_len, "depth_scale": float(dscale),
         "flow_half": down == 2, "flow_down": down,
         "depth_map_factor": float(depth_map_factor),
@@ -116,7 +122,7 @@ class PackedDataset:
     def __init__(self, path: str | Path):
         self.dir = Path(path)
         self.meta = json.loads((self.dir / "meta.json").read_text())
-        if self.meta.get("version") != _VERSION:
+        if self.meta.get("version") not in (_VERSION, _VERSION_DOWN4):
             raise ValueError(f"packed dataset version mismatch: {self.meta}")
         n, L = self.meta["n"], self.meta["wire_len"]
         self.frames = np.memmap(self.dir / "frames.i16", dtype=np.int16,

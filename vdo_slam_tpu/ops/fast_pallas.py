@@ -109,7 +109,7 @@ def _score_pair_single(gray, th_ini, th_min, tile_h, interpret):
     s_ini, s_min = pl.pallas_call(
         kernel,
         grid=(Hp // tile_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -141,7 +141,7 @@ def _score_pair_batched(gray, th_ini, th_min, tile_h, interpret):
     s_ini, s_min = pl.pallas_call(
         kernel,
         grid=(S, Hp // tile_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, tile_h, Wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
