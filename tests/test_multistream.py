@@ -142,6 +142,101 @@ class TestFusedSystem:
         assert rep2["n_obj_estimates"] == rep["n_obj_estimates"]
 
 
+class TestPartialGT:
+    """bObjStat semantics on sequences with partial GT (Tracking.cc:831-841):
+    an object whose GT motion is missing in either frame of a pair is a
+    failure — excluded from the map archive AND its track dies (features
+    stripped from renewal, Tracking.cc:2834/2878; model-label inheritance
+    blocked, 1577), so it gets a FRESH model id when GT returns.  The fused
+    path must reproduce the host path's archive on such a sequence."""
+
+    DROP_SEM = 2
+    DROP_FRAMES = (3, 4)
+
+    def _partial_ds(self, scene):
+        base = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        drop_sem, drop_frames = self.DROP_SEM, self.DROP_FRAMES
+
+        class _PartialGT:
+            def __len__(self):
+                return len(base)
+
+            def __getitem__(self, i):
+                fd = base[i]
+                if i in drop_frames:
+                    rows = np.asarray(fd.obj_gt_rows,
+                                      np.float32).reshape(-1, 10)
+                    fd = dataclasses.replace(
+                        fd, obj_gt_rows=rows[rows[:, 1] != drop_sem])
+                return fd
+
+        return _PartialGT()
+
+    @staticmethod
+    def _track_ids_by_sem(m, sem):
+        """(frame, model_id) pairs archived for `sem` (archive row j is
+        frame j+1)."""
+        out = []
+        for j, (labs, sems) in enumerate(zip(m.rm_label, m.sem_label)):
+            for lab, s in zip(labs, sems):
+                if s == sem:
+                    out.append((j + 1, lab))
+        return out
+
+    def test_fused_archive_matches_host_on_partial_gt(self):
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.pipeline import System
+
+        scene = make_scene(num_frames=8, width=320, height=240,
+                           num_objects=2, seed=3)
+        cfg = small_config(scene)
+        maps = {}
+        for mode in ("reference", "fused"):
+            sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                          mode=mode)
+            sysm.run_sequence(self._partial_ds(scene))
+            maps[mode] = sysm.map
+
+        host, fused = maps["reference"], maps["fused"]
+        assert host.num_frames == fused.num_frames
+        # identical per-frame archived object sets (archive row j = frame
+        # j+1; entry 0 of each row is the camera)
+        host_sems = [sorted(s[1:]) for s in host.sem_label]
+        fused_sems = [sorted(s[1:]) for s in fused.sem_label]
+        assert host_sems == fused_sems, (host_sems, fused_sems)
+        # the dropped object vanishes from the archive exactly while its GT
+        # pair is incomplete: frames 3, 4 (cur missing) and 5 (last missing)
+        for j, sems in enumerate(host_sems):
+            frame = j + 1
+            expect = frame not in (3, 4, 5)
+            assert (self.DROP_SEM in sems) == expect, (frame, sems)
+        # track-id continuity: the surviving object keeps ONE id throughout
+        # in both paths; the dropped object gets a FRESH id on GT return
+        for m in (host, fused):
+            keep = self._track_ids_by_sem(m, 1)
+            assert len({lab for _, lab in keep}) == 1, keep
+            dropped = self._track_ids_by_sem(m, self.DROP_SEM)
+            pre = {lab for f, lab in dropped if f < 3}
+            post = {lab for f, lab in dropped if f >= 6}
+            assert len(pre) == 1 and len(post) == 1, dropped
+            assert pre != post, dropped
+        # same obj_track_time view (GetObjTrackTime, the bookkeeping the
+        # old fused path undercounted) up to model-id numbering order
+        from vdo_slam_tpu.pipeline.map_state import object_track_time
+
+        def _counts(m):
+            max_id = max(max(l) for l in m.rm_label) + 1
+            cnt, _, _ = object_track_time(m.rm_label, m.sem_label,
+                                          m.sm_label_gt, max_id)
+            return sorted(cnt.tolist())
+
+        assert _counts(host) == _counts(fused)
+        # camera trajectory unaffected by the object-GT gap
+        np.testing.assert_allclose(np.stack(host.cam_pose)[:, :3, 3],
+                                   np.stack(fused.cam_pose)[:, :3, 3],
+                                   atol=5e-3)
+
+
 class TestStageProbe:
     @pytest.mark.slow  # compiles 7 separate stage programs (~80 s CPU)
     def test_calibrate_stage_times_fills_timings(self):

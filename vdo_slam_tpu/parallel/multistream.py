@@ -104,12 +104,27 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
         ok_slot = cls["slot_active"] & (
             obj_out["n_init"] >= tr.min_init_inliers
         )
+        gt_sems = inputs.get("gt_sems")
+        if gt_sems is not None:
+            # bObjStat: an object without GT motion in both frames is a
+            # failure (Tracking.cc:831-841) and its TRACK dies — the
+            # reference strips its features from renewal (Tracking.cc:2834,
+            # 2878) and blocks model-label inheritance (1577), exactly like
+            # the host path's final_class stripping (tracking.py:327-348).
+            # gt_sems is the (K_GT,) -1-padded list of semantic labels with
+            # GT in BOTH frames, computed host-side at staging time.
+            ok_slot = ok_slot & jnp.any(
+                cls["slot_sem"][:, None] == gt_sems[None, :], axis=1)
         stat_new = renew_s_fn(
             cam_out["uv_cur"], cam_out["inlier"], prep["det_xy"],
             prep["det_valid"], prep["det_score"], depth, inputs["flow"],
             seg, T_cw,
         )
-        carry_dyn = (cls["obj_label"] > 0) & jnp.any(obj_out["inlier"], axis=0)
+        # failed slots (no GT / too few init inliers) carry NO features —
+        # the host path sets final_class[members] = -1 (tracking.py:344-348,
+        # mirroring vnObjInlierID handling at Tracking.cc:2829-2841)
+        carry_dyn = (cls["obj_label"] > 0) & jnp.any(
+            obj_out["inlier"] & ok_slot[:, None], axis=0)
         dyn_new = renew_d_fn(
             obj_out["uv_cur"], cls["obj_label"], carry_dyn, prep["obj_cand"],
             cls["slot_sem"], cls["slot_model"], ok_slot, depth,
@@ -187,8 +202,11 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
                 depth_scale=depth_wire_scale(tr.depth_map_factor),
                 flow_down=tr.flow_down,
                 hw=(cfg.camera.height, cfg.camera.width))
-            inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
-                      "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}
+            unpacked = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
+                        "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}
+            if "gt_sems" in inputs:
+                unpacked["gt_sems"] = inputs["gt_sems"]
+            inputs = unpacked
         return jax.lax.cond(
             state["initialized"],
             lambda: track_body(state, inputs, key),

@@ -121,9 +121,11 @@ class MultiStreamSystem:
         packed = np.stack([_wire(fd) for fd in fds])
         gts = [t._gt_pose(fd.pose_gt_raw)
                for t, fd in zip(self.trackers, fds)]
+        sems = [t._stage_gt_sems(fd) for t, fd in zip(self.trackers, fds)]
         staged = self._shard({
             "packed": packed,
             "T_cw_gt": np.stack(gts).astype(np.float32),
+            "gt_sems": np.stack(sems),
         })
         staged["_gts_host"] = gts
         return staged

@@ -8,10 +8,10 @@ jit with the device-side classifier — and only archives results on the host.
 One launch per frame amortizes dispatch/transfer latency, which dominates on
 remote-attached accelerators.
 
-Behavioral difference vs the host path (documented): object slots are gated
-by inlier count only; GT availability (which the reference folds into
-bObjStat, Tracking.cc:132-142) is applied at archive time, not fed back into
-renewal.
+GT availability (which the reference folds into bObjStat, Tracking.cc:
+831-841) is computed host-side at staging time and fed to the device step as
+the `gt_sems` input, so slot gating / renewal / label inheritance match the
+host path exactly — including on sequences with partial GT.
 """
 
 from __future__ import annotations
@@ -29,6 +29,15 @@ from ..io.packing import pack_frame
 from ..parallel.multistream import make_frame_step, make_stream_state
 from .map_state import MapState
 from .tracking import _np_inv, obj_pose_parsing_kt, obj_pose_parsing_ox
+
+# cap on per-frame GT-object semantic labels fed to the device bObjStat gate
+# (far above any shipped sequence's simultaneous object count)
+_K_GT = 32
+
+
+def _rows_sems(rows) -> set[int]:
+    r = np.asarray(rows, np.float32).reshape(-1, 10)
+    return {int(x) for x in r[:, 1]}
 
 
 def _pack_outputs(state, metrics):
@@ -124,10 +133,12 @@ class FusedTracker:
             def _chunk_step(state, inputs, keys):
                 def body(st, x):
                     st, vec = _step(st, {"packed": x["packed"],
-                                         "T_cw_gt": x["T_cw_gt"]}, x["key"])
+                                         "T_cw_gt": x["T_cw_gt"],
+                                         "gt_sems": x["gt_sems"]}, x["key"])
                     return st, vec
                 xs = {"packed": inputs["packed"],
-                      "T_cw_gt": inputs["T_cw_gt"], "key": keys}
+                      "T_cw_gt": inputs["T_cw_gt"],
+                      "gt_sems": inputs["gt_sems"], "key": keys}
                 return jax.lax.scan(body, state, xs, length=C, unroll=C)
 
             self.step_chunk = jax.jit(_chunk_step)
@@ -153,6 +164,11 @@ class FusedTracker:
         )
         self.frame_id = 0
         self.origin_inv: np.ndarray | None = None
+        # GT sem labels of the last STAGED frame (staging runs strictly in
+        # frame order, possibly on the uploader thread); None until frame 0
+        # is staged.  Distinct from _last_obj_rows, which the drainer thread
+        # advances at ARCHIVE time.
+        self._stage_last_sems: set[int] | None = None
         self._last_obj_rows = np.zeros((0, 10), np.float32)
         self._last_T_wc_gt = np.eye(4, dtype=np.float32)
         self.local_ba_hook = None
@@ -170,6 +186,18 @@ class FusedTracker:
         if self.origin_inv is None:
             self.origin_inv = np.asarray(raw, np.float32)
         return _np_inv(np.asarray(raw, np.float32)) @ self.origin_inv
+
+    def _stage_gt_sems(self, fd: FrameData) -> np.ndarray:
+        """(K_GT,) -1-padded sem labels with GT in BOTH the previous and
+        this frame — the device-side bObjStat gate's input (Tracking.cc:
+        831-841).  Must be called once per frame, in frame order."""
+        cur = _rows_sems(fd.obj_gt_rows)
+        last = self._stage_last_sems
+        both = sorted(cur & last)[:_K_GT] if last is not None else []
+        self._stage_last_sems = cur
+        out = np.full((_K_GT,), -1, np.int32)
+        out[:len(both)] = both
+        return out
 
     def _gt_obj(self, rows, T_wc_gt):
         from ..config import OMD
@@ -201,6 +229,7 @@ class FusedTracker:
                     self.cfg.tracking.depth_map_factor),
                 flow_down=self.cfg.tracking.flow_down),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
+            "gt_sems": self._stage_gt_sems(fd),
         })
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
@@ -221,7 +250,11 @@ class FusedTracker:
         from ..io.packing import depth_wire_scale, unpack_frame
         from ..parallel.multistream import make_stage_probe
 
+        # device_inputs advances the staging-order GT state; the probe runs
+        # off the sequence (often on an already-staged frame), so restore it
+        saved_sems = self._stage_last_sems
         staged = self.device_inputs(fd)
+        self._stage_last_sems = saved_sems
         gray, depth_raw, flow, seg = unpack_frame(
             staged["packed"],
             depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor),
@@ -373,9 +406,10 @@ class FusedTracker:
         from ..io.packing import depth_wire_scale
 
         dscale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
-        packs, gts = [], []
+        packs, gts, sems = [], [], []
         for fd in fds:
             gts.append(self._gt_pose(fd.pose_gt_raw))
+            sems.append(self._stage_gt_sems(fd))
             # pre-packed frames (io/packed_dataset.py) skip the per-frame
             # host pack entirely — the wire IS the dataset
             pre = getattr(fd, "packed", None)
@@ -388,6 +422,7 @@ class FusedTracker:
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),
+            "gt_sems": np.stack(sems),
         })
         staged["_T_cw_gt_host"] = gts
         return staged
@@ -513,7 +548,10 @@ class FusedTracker:
                 v_gt = H_p_c[:3, 3] - (np.eye(3) - H_p_c[:3, :3]) @ cen_all[k]
                 speed_gt = float(np.linalg.norm(v_gt) * 36.0)
             else:
-                # no GT: archived as a failure case (reference bObjStat)
+                # unreachable in normal operation: the device step's
+                # gt_sems gate already deactivates no-GT slots (bObjStat,
+                # Tracking.cc:831-841); kept as a defensive skip — the
+                # reference also drops failures from the map (1089-1098)
                 continue
             mots.append(H_all[k])
             mots_gt.append(H_gt_body)
