@@ -277,7 +277,11 @@ def main(hard: bool = False):
     # stage-by-stage probe on real state/inputs, off the timed region
     t0 = time.perf_counter()
     try:
-        stage_ms = sysm.tracker.calibrate_stage_times(pds[WARMUP_FRAMES])
+        # n_iters=4: resolution 4x per-stage ms (plenty vs the few-ms rep
+        # noise) at half the default's compile cost — the 6 prefix programs
+        # dominate probe wall time on a cold compile-service cache
+        stage_ms = sysm.tracker.calibrate_stage_times(pds[WARMUP_FRAMES],
+                                                      n_iters=4)
         log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
             f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
             + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
@@ -302,6 +306,20 @@ def main(hard: bool = False):
     log(f"tracking+windowed-BA: {n_timed} frames in {track_elapsed:.2f}s "
         f"= {n_timed / track_elapsed:.2f} fps")
 
+    # window-solve health (Optimizer.cc:640-970 per-window printout analog):
+    # every solve already logged one [window-ba] line; summarize + show the
+    # last window's per-edge-type chi2 table
+    from vdo_slam_tpu.backend.factor_graph import format_edge_stats
+
+    wb = getattr(sysm.tracker, "ba_health", [])
+    if wb:
+        h = wb[-1]
+        log(f"window-BA health: {len(wb)} solves, "
+            f"{sysm.tracker.ba_failures} failures; last window: cost "
+            f"{h['cost0']:.3e} -> {h['cost']:.3e}  points {h['n_points']}  "
+            f"tracks_dropped {h['n_tracks_dropped']}")
+        log(format_edge_stats(h["edge_stats0"], h["edge_stats"]))
+
     # end-of-run full-batch refinement (the reference's
     # FullBatchOptimization, Tracking.cc:1190-1208)
     t1 = time.perf_counter()
@@ -309,8 +327,6 @@ def main(hard: bool = False):
 
     ba_info = full_ba_inplace(sysm.map, cfg)
     ba_elapsed = time.perf_counter() - t1
-    from vdo_slam_tpu.backend.factor_graph import format_edge_stats
-
     log(f"full-batch BA: {ba_elapsed:.1f}s  (build {ba_info['t_build_s']}s "
         f"solve {ba_info['t_solve_s']}s wb {ba_info['t_writeback_s']}s, "
         f"{ba_info['iters_run']} LM iters)  cost {ba_info['cost0']:.4e} -> "

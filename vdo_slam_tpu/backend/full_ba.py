@@ -22,11 +22,16 @@ from .builders import build_full_graph, empty_full_graph
 from .factor_graph import (LMParams, Variables, lm_solve, lm_solve_chunked,
                            lm_solve_sharded_chunked)
 
-# LM iterations per device call: the remote worker kills single programs
-# that run longer than ~60-90 s.  At ~0.5 s per warm LM iteration on the
-# 114k-point bench graph, 9 iterations per call stays far under the limit
-# while saving the cross-chunk host syncs that chunk=3 paid.
-FULL_BA_CHUNK = 9
+# LM iterations per device call.  Two forces: (a) the remote worker kills
+# single programs over ~60-90 s, so iterations must be chunked at all
+# (~0.5 s per warm LM iteration on the 114k-point bench graph); (b) the
+# cross-chunk gain test (g2o SparseOptimizerTerminateAction semantics,
+# Optimizer.cc:140-142) only evaluates at chunk boundaries — chunk=9 with
+# the default 9-iteration budget could NEVER stop early and burned ~1.6 s
+# of converged iterations on the bench (accuracy plateaus at LM iter 4-5,
+# DESIGN §11).  chunk=3 pays 2 extra host syncs (~0.1 s each) and lets the
+# solve terminate at 6 iterations on the bench graph.
+FULL_BA_CHUNK = 3
 
 
 def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:

@@ -222,15 +222,32 @@ def _unjit(fn):
     return inner if inner is not None else fn
 
 
-def make_stage_probe(cfg: VDOConfig):
+STAGE_SPANS = ("mask_update", "camera_est", "obj_track", "obj_est",
+               "map_update")
+
+
+def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
     """Per-stage device-time probe for the fused path — the reference's
     5-span timing harness (Map.h:83-84, System.cc:204-237) where the
     production step is ONE fused executable that can't be timed from inside.
 
-    Runs the SAME stage bodies as separate jitted programs on real tracker
-    state + frame tensors, with a blocking device sync after each span, and
-    nets out the measured per-call dispatch/tunnel overhead.  Bucket map
-    (reference span -> fused stages):
+    Method: 6 PREFIX programs, where prefix k runs spans 1..k of the frame
+    step chained inside ONE jit, repeated `n_iters` times via an unrolled
+    lax.scan (unrolled to match the production chunk step's layout
+    specialization).  Iterations are serialized by perturbing the inputs
+    with `z * checksum(previous outputs)` where z is a RUNTIME zero — the
+    compiler cannot hoist or CSE the loop body, and at run time the inputs
+    are bit-identical every iteration.  Then
+
+        span_ms[k] = (T(prefix_k) - T(prefix_{k-1})) / n_iters
+
+    nets out dispatch + tunnel round-trip EXACTLY (both prefixes pay it
+    once), unlike the subtract-rtt single-shot probe this replaces, which
+    reported 0.0 for every stage whose device time was below the ~38 ms
+    per-call round-trip.  Prefix 0 is a trivial program whose wall time IS
+    the dispatch baseline.
+
+    Span map (reference spans -> fused stages):
       mask_update  -> prepare (depth preprocess, detection, candidates)
                       + inheritance (Tracking.cc:180-244, 2997-3241)
       camera_est   -> camera RANSAC + flow-LM (Tracking.cc:683-713)
@@ -238,90 +255,152 @@ def make_stage_probe(cfg: VDOConfig):
       obj_est      -> vmapped per-object motion LM (Tracking.cc:868-1001)
       map_update   -> static + dynamic feature renewal (Tracking.cc:1017)
 
-    Returns probe(state, inputs, key) -> (times_ms dict, rtt_ms).  Call it
-    twice: the first run compiles each stage, the second measures warm.
-    Sum(times) exceeds the fused per-frame device time — XLA fuses across
-    stage boundaries in the production program — so these are upper-bound
-    per-stage device times, honest but not additive."""
+    Caveats: checksums cover EVERY span output (nothing is dead-code
+    eliminated), so cross-span fusion the production program enjoys is
+    attributed to the producing span; PRNG bit generation is hoisted out of
+    the loop (negligible).  Returns probe(state, inputs, key) ->
+    (times_ms dict, dispatch_ms)."""
     import time as _time
 
-    import numpy as _np
-
     tr = cfg.tracking
-    prep_fn = stages.make_prepare(cfg, use_pallas=None)
-    inherit_fn = stages.make_inherit(cfg)
-    camera_fn = stages.make_camera_stage(cfg)
-    sflow_fn = stages.make_scene_flow(cfg)
-    objects_fn = stages.make_objects_stage(cfg)
-    renew_s_fn, renew_d_fn = stages.make_renew_stage(cfg)
-    classify_fn = jax.jit(stages.make_device_classifier(cfg))
+    prep_fn = _unjit(stages.make_prepare(cfg, use_pallas=None))
+    inherit_fn = _unjit(stages.make_inherit(cfg))
+    camera_fn = _unjit(stages.make_camera_stage(cfg))
+    sflow_fn = _unjit(stages.make_scene_flow(cfg))
+    objects_fn = _unjit(stages.make_objects_stage(cfg))
+    renew_s_fn, renew_d_fn = [
+        _unjit(f) for f in stages.make_renew_stage(cfg)
+    ]
+    classify_fn = stages.make_device_classifier(cfg)
 
-    def probe(state, inputs, key):
+    def _chk(*outs):
+        tot = jnp.float32(0)
+        for o in outs:
+            for leaf in jax.tree.leaves(o):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
+    def _prefix(state, inputs, key, z, n_spans: int):
         last: FrameState = state["frame"]
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        times: dict[str, float] = {}
-        calls: dict[str, int] = {}
 
-        def sync(tree):
-            # device_get of one leaf forces completion (block_until_ready
-            # does not reliably sync on the axon tunnel).  Fetch the
-            # SMALLEST leaf: all outputs of one executable materialize
-            # together, and pulling a (H, W) map instead would bill the
-            # stage ~30 ms of pure wire transfer (measured: the depth-map
-            # leaf inflated mask_update ~4x).
-            leaves = jax.tree.leaves(tree)
-            smallest = min(leaves, key=lambda a: getattr(a, "nbytes", 1 << 30))
-            _np.asarray(jax.device_get(smallest))
+        def body(chk, _):
+            if n_spans == 0:
+                return chk * jnp.float32(0.5) + z, None
+            # z == 0.0 at run time: inputs are unperturbed, but every
+            # iteration depends on the previous one's full output set
+            eps = z * chk
+            rgb = inputs["rgb"] + eps
+            depth_raw = inputs["depth_raw"] + eps
+            flow = inputs["flow"] + eps
+            seg = inputs["seg"]
+            prep = prep_fn(rgb, depth_raw, flow, seg, k1)
+            depth = prep["depth"]
+            stat_cur, dyn_cur = inherit_fn(last.static, last.dynamic,
+                                           depth, seg)
+            chk = _chk(prep, stat_cur, dyn_cur)
+            if n_spans == 1:
+                return chk, None
+            cam_out = camera_fn(last.static, stat_cur["xy"],
+                                stat_cur["depth"], last.T_cw, last.velocity,
+                                inputs["T_cw_gt"], last.T_cw_gt, k2)
+            T_cw = cam_out["T_cw"]
+            chk = chk + _chk(cam_out)
+            if n_spans == 2:
+                return chk, None
+            sf = sflow_fn(last.dynamic, dyn_cur["xy"], dyn_cur["depth"],
+                          dyn_cur["sem_label"], last.T_cw, T_cw)
+            cls = classify_fn(dyn_cur["sem_label"],
+                              dyn_cur["valid"] & sf["sem_ok"], sf["sf_norm"],
+                              dyn_cur["depth"], dyn_cur["xy"],
+                              last.dynamic.sem_label, state["slot_sem"],
+                              state["slot_model"], state["slot_H"],
+                              state["slot_active"], state["max_id"])
+            chk = chk + _chk(sf, cls)
+            if n_spans == 3:
+                return chk, None
+            obj_out = objects_fn(last.dynamic, dyn_cur["xy"],
+                                 dyn_cur["depth"], dyn_cur["sem_label"],
+                                 cls["slot_sem"], cls["slot_active"],
+                                 cls["slot_has_mm"], cls["slot_H_prev"],
+                                 cls["member_ok"], last.T_cw, T_cw, k3)
+            chk = chk + _chk(obj_out)
+            if n_spans == 4:
+                return chk, None
+            ok_slot = cls["slot_active"] & (
+                obj_out["n_init"] >= tr.min_init_inliers)
+            stat_new = renew_s_fn(cam_out["uv_cur"], cam_out["inlier"],
+                                  prep["det_xy"], prep["det_valid"],
+                                  prep["det_score"], depth, flow, seg, T_cw)
+            carry_dyn = (cls["obj_label"] > 0) & jnp.any(
+                obj_out["inlier"] & ok_slot[:, None], axis=0)
+            dyn_new = renew_d_fn(obj_out["uv_cur"], cls["obj_label"],
+                                 carry_dyn, prep["obj_cand"],
+                                 cls["slot_sem"], cls["slot_model"],
+                                 ok_slot, depth, flow, seg, T_cw, k4)
+            chk = chk + _chk(stat_new, dyn_new)
+            return chk, None
 
-        def timed(name, fn, *args):
-            t0 = _time.perf_counter()
-            out = fn(*args)
-            sync(out)
-            times[name] = times.get(name, 0.0) + (
-                _time.perf_counter() - t0) * 1e3
-            calls[name] = calls.get(name, 0) + 1
-            return out
+        chk, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_iters,
+                              unroll=n_iters)
+        return chk
 
-        # per-call overhead baseline (dispatch + tunnel round-trip): the
-        # production step pays it once, the probe pays it per stage
-        t0 = _time.perf_counter()
-        sync(jnp.zeros(()) + 1.0)
-        rtt = (_time.perf_counter() - t0) * 1e3
+    progs = [
+        jax.jit(functools.partial(_prefix, n_spans=k)) for k in range(6)
+    ]
 
-        prep = timed("mask_update", prep_fn, inputs["rgb"],
-                     inputs["depth_raw"], inputs["flow"], inputs["seg"], k1)
-        depth, seg = prep["depth"], inputs["seg"]
-        stat_cur, dyn_cur = timed("mask_update", inherit_fn, last.static,
-                                  last.dynamic, depth, seg)
-        cam_out = timed("camera_est", camera_fn, last.static, stat_cur["xy"],
-                        stat_cur["depth"], last.T_cw, last.velocity,
-                        inputs["T_cw_gt"], last.T_cw_gt, k2)
-        T_cw = cam_out["T_cw"]
-        sf = timed("obj_track", sflow_fn, last.dynamic, dyn_cur["xy"],
-                   dyn_cur["depth"], dyn_cur["sem_label"], last.T_cw, T_cw)
-        cls = timed("obj_track", classify_fn, dyn_cur["sem_label"],
-                    dyn_cur["valid"] & sf["sem_ok"], sf["sf_norm"],
-                    dyn_cur["depth"], dyn_cur["xy"], last.dynamic.sem_label,
-                    state["slot_sem"], state["slot_model"], state["slot_H"],
-                    state["slot_active"], state["max_id"])
-        obj_out = timed("obj_est", objects_fn, last.dynamic, dyn_cur["xy"],
-                        dyn_cur["depth"], dyn_cur["sem_label"],
-                        cls["slot_sem"], cls["slot_active"],
-                        cls["slot_has_mm"], cls["slot_H_prev"],
-                        cls["member_ok"], last.T_cw, T_cw, k3)
-        ok_slot = cls["slot_active"] & (
-            obj_out["n_init"] >= tr.min_init_inliers)
-        timed("map_update", renew_s_fn, cam_out["uv_cur"], cam_out["inlier"],
-              prep["det_xy"], prep["det_valid"], prep["det_score"], depth,
-              inputs["flow"], seg, T_cw)
-        carry_dyn = (cls["obj_label"] > 0) & jnp.any(obj_out["inlier"],
-                                                     axis=0)
-        timed("map_update", renew_d_fn, obj_out["uv_cur"], cls["obj_label"],
-              carry_dyn, prep["obj_cand"], cls["slot_sem"],
-              cls["slot_model"], ok_slot, depth, inputs["flow"], seg, T_cw,
-              k4)
-        net = {k: max(v - rtt * calls[k], 0.0) for k, v in times.items()}
-        return net, rtt
+    # prefix 6: the REAL production packed frame body (wire unpack + all
+    # spans + output packing) scanned n_iters times with the state carried —
+    # its per-iteration time is the true per-frame device cost, and the gap
+    # vs sum(spans) quantifies what the 5-span map does not cover (wire
+    # unpack, output pack, scan-body layout differences)
+    raw_step = make_frame_step(cfg, packed=True)
+
+    def _frame_prefix(state, pinputs, key):
+        from ..pipeline.fused import _pack_outputs
+
+        def body(carry, _):
+            st, _chk = carry
+            st, metrics = raw_step(st, pinputs, key)
+            vec = _pack_outputs(st, metrics)
+            return (st, jnp.sum(vec)), None
+
+        (_, chk), _ = jax.lax.scan(body, (state, jnp.float32(0)), None,
+                                   length=n_iters, unroll=n_iters)
+        return chk
+
+    frame_prog = jax.jit(_frame_prefix)
+
+    def probe(state, inputs, key, reps: int = 3, packed_inputs=None):
+        z = jnp.float32(0)
+
+        def run(call):
+            # block_until_ready does not reliably sync on the axon tunnel;
+            # a scalar device_get does
+            float(jax.device_get(call()))
+
+        def timed(call):
+            run(call)  # compile + first-execute (remote program-load cost)
+            run(call)  # warm
+            best = float("inf")
+            for _ in range(max(reps, 1)):
+                t0 = _time.perf_counter()
+                run(call)
+                best = min(best, _time.perf_counter() - t0)
+            return best * 1e3
+
+        T = [timed(functools.partial(prog, state, inputs, key, z))
+             for prog in progs]
+        times = {
+            name: max(T[k + 1] - T[k], 0.0) / n_iters
+            for k, name in enumerate(STAGE_SPANS)
+        }
+        if packed_inputs is not None:
+            pin = {k: v for k, v in packed_inputs.items()
+                   if not k.startswith("_")}
+            tf = timed(functools.partial(frame_prog, state, pin, key))
+            times["_frame_ms"] = max(tf - T[0], 0.0) / n_iters
+        return times, T[0]
 
     return probe
 

@@ -174,6 +174,10 @@ class FusedTracker:
         self.local_ba_hook = None
         self._ba_thread: threading.Thread | None = None
         self.ba_failures = 0  # background window solves that raised
+        # per-solve health dicts (cost0/cost, points, tracks dropped, edge
+        # stats) — the reference's per-window chi2 printouts
+        # (Optimizer.cc:640-970); one stderr line is logged per solve
+        self.ba_health: list[dict] = []
         # per-frame stage-time estimate archived with every frame: zeros
         # until calibrate_stage_times() measures the real split (the fused
         # step is one executable; spans can't be timed inside it)
@@ -234,21 +238,26 @@ class FusedTracker:
         staged["_T_cw_gt_host"] = T_cw_gt
         return staged
 
-    def calibrate_stage_times(self, fd: FrameData, rounds: int = 2) -> dict:
+    def calibrate_stage_times(self, fd: FrameData, rounds: int = 2,
+                              n_iters: int = 8) -> dict:
         """Measure the reference's 5-span per-stage split (Map.h:83-84,
         System.cc:204-237) on the fused path.
 
-        Runs the SAME stage bodies as separate jitted programs on the
-        current tracker state + this frame's tensors with a blocking sync
-        after each (parallel.multistream.make_stage_probe).  The production
-        chunk step is one fused executable, so spans can't be timed inside
-        it — run this OFF the critical path (e.g. right after warmup) and
-        the measured ms are archived with every frame, past and future.
-        First round compiles the stage programs; the last round's warm
-        times win.  Returns {stage: ms} plus the netted-out per-call
-        overhead under key "_rtt_ms"."""
+        Uses the scan-N prefix probe (parallel.multistream.make_scan_probe):
+        prefix k runs spans 1..k of the frame step N times inside one jit,
+        and span time = (T_k - T_{k-1}) / N — dispatch and tunnel round-trip
+        cancel exactly, so per-stage device times well below one round-trip
+        are resolved.  The production chunk step is one fused executable, so
+        spans can't be timed inside it — run this OFF the critical path
+        (e.g. right after warmup); the measured ms are archived with every
+        frame, past and future.  `rounds` = timed repetitions per prefix
+        (min wins; each prefix is compiled + warmed first).  Returns
+        {stage: ms} plus the dispatch baseline under key "_rtt_ms".
+        `n_iters` trades compile time (6 programs, each ~n_iters unrolled
+        bodies) against timing resolution (span deltas are n_iters x the
+        per-frame stage time)."""
         from ..io.packing import depth_wire_scale, unpack_frame
-        from ..parallel.multistream import make_stage_probe
+        from ..parallel.multistream import STAGE_SPANS, make_scan_probe
 
         # device_inputs advances the staging-order GT state; the probe runs
         # off the sequence (often on an already-staged frame), so restore it
@@ -262,14 +271,12 @@ class FusedTracker:
             hw=(self.cfg.camera.height, self.cfg.camera.width))
         inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                   "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
-        probe = make_stage_probe(self.cfg)
+        probe = make_scan_probe(self.cfg, n_iters=n_iters)
         key = jnp.asarray(self._keys[self.frame_id % self.MAX_FRAMES])
-        times, rtt = {}, 0.0
-        for _ in range(max(rounds, 1)):
-            times, rtt = probe(self.state, inputs, key)
-        order = ("mask_update", "camera_est", "obj_track", "obj_est",
-                 "map_update")
-        self._stage_ms = np.asarray([times[k] for k in order], np.float32)
+        times, rtt = probe(self.state, inputs, key, reps=max(rounds, 1),
+                           packed_inputs=staged)
+        self._stage_ms = np.asarray([times[k] for k in STAGE_SPANS],
+                                    np.float32)
         self._probe_rtt_ms = rtt
         # backfill frames archived before calibration (they carried zeros)
         for i in range(len(self.map.timings)):
@@ -315,8 +322,22 @@ class FusedTracker:
             def run_ba():
                 t5 = time.perf_counter()
                 try:
-                    self.local_ba_hook(self.map, n_frames)
-                    self.map.lba_times.append((time.perf_counter() - t5) * 1e3)
+                    health = self.local_ba_hook(self.map, n_frames)
+                    ms = (time.perf_counter() - t5) * 1e3
+                    self.map.lba_times.append(ms)
+                    if isinstance(health, dict):
+                        self.ba_health.append(health)
+                        import sys
+
+                        obs = health.get("edge_stats", {}).get("obs", {})
+                        print(
+                            f"[window-ba] end={n_frames} cost "
+                            f"{health['cost0']:.3e} -> {health['cost']:.3e}"
+                            f"  points={health['n_points']}"
+                            f"  obs_inliers={int(obs.get('n_inlier', 0))}/"
+                            f"{int(obs.get('n', 0))}"
+                            f"  tracks_dropped={health['n_tracks_dropped']}"
+                            f"  {ms:.0f}ms", file=sys.stderr)
                 except Exception:
                     # a lost window solve degrades refinement quality only;
                     # surface it instead of dying silently on the daemon
