@@ -189,8 +189,17 @@ class BackendConfig:
     full_sigma2_3d_dyn: float = 80.0
     full_sigma2_alti: float = 0.1
     full_gain_thres: float = 1e-4
-    full_iters: int = 9                # g2o uses up to 300 w/ early stop;
-                                       # preconditioned GN converges in ~10
+    full_iters: int = 6                # g2o uses up to 300 w/ early stop;
+                                       # measured on the 114k-point bench
+                                       # archive: cam_t/cam_r/obj_t RPE are
+                                       # bit-equal from 3 iters on, obj_r
+                                       # 2.18e-3 @3 / 2.01e-3 @6 / 1.93e-3
+                                       # @9 (initial 6.99e-3) — 6 keeps the
+                                       # accuracy and cuts the solve 3.8 ->
+                                       # 2.6 s.  Keep it a MULTIPLE of
+                                       # full_ba.FULL_BA_CHUNK: a remainder
+                                       # tail chunk compiles a fresh program
+                                       # mid-solve (~55 s measured).
     prior_information: float = 1e5     # Optimizer.cc:1341 (*100000)
     huber_delta: float = 1e-4          # deltaHuberCamMot/ObjMot/3D, Optimizer.cc:1352
     # fp32-adjusted Huber delta for SE(3) chain edges (odo/smooth): the
