@@ -81,7 +81,8 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     from vdo_slam_tpu.io.packed_dataset import InMemoryPackedDataset
 
     ds = InMemoryPackedDataset(raw_ds, depth_map_factor=256.0,
-                               flow_down=cfg.tracking.flow_down)
+                               flow_down=cfg.tracking.flow_down,
+                               flow_delta=cfg.tracking.flow_delta)
 
     # each stream starts at a different offset of the sequence
     class _View:
@@ -232,7 +233,8 @@ def main(hard: bool = False):
     from vdo_slam_tpu.io.packed_dataset import InMemoryPackedDataset
 
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
-                                flow_down=cfg.tracking.flow_down)
+                                flow_down=cfg.tracking.flow_down,
+                                flow_delta=cfg.tracking.flow_delta)
     log(f"pre-packed {len(pds)} frames in {time.perf_counter() - t0:.1f}s "
         f"({pds[0].packed.nbytes / 1e6:.2f} MB/frame wire)")
 

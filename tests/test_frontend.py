@@ -471,3 +471,39 @@ class TestWirePacking:
         assert err.max() < 3e-2, err.max()
         # global sanity: bounded even at the boundary cells
         assert np.abs(f2 - flow).max() < 0.6
+
+    def test_flow_delta_wire_lossless(self):
+        """wire_flow_delta: row-delta entropy coding of the fp16 flow
+        planes must reconstruct BIT-IDENTICAL samples vs the plain wire —
+        it is a compression-side transform only (io/packing.py
+        _row_delta_u16 / _row_undelta_u16).  Checked on both the (4,H,W)
+        full-res layout and the flat flow_down=2 layout, with adversarial
+        values (inf/-inf/nan/extremes) to exercise the mod-2^16 wrap."""
+        import jax.numpy as jnp
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(3)
+        H, W = 47, 63
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        depth = rng.uniform(0, 80, (H, W)).astype(np.float32)
+        flow = rng.uniform(-300, 300, (H, W, 2)).astype(np.float32)
+        flow[0, :4, 0] = [np.inf, -np.inf, np.nan, 65504.0]  # fp16 extremes
+        seg = rng.integers(0, 5, (H, W)).astype(np.int32)
+        scale = depth_wire_scale(1.0)
+        for down in (1, 2):
+            plain = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                               flow_down=down)
+            delta = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                               flow_down=down, flow_delta=True)
+            assert plain.shape == delta.shape          # same wire layout
+            assert not np.array_equal(plain, delta)    # different encoding
+            a = unpack_frame(jnp.asarray(plain), depth_scale=scale,
+                             flow_down=down, hw=(H, W))
+            b = unpack_frame(jnp.asarray(delta), depth_scale=scale,
+                             flow_down=down, flow_delta=True, hw=(H, W))
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(
+                    np.asarray(x).view(np.uint32),
+                    np.asarray(y).view(np.uint32))     # bit-exact, NaN-safe

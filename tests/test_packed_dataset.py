@@ -100,6 +100,39 @@ def test_in_memory_packed_matches_disk(raw_ds, tmp_path):
                                       np.asarray(disk[i].packed))
 
 
+def test_flow_delta_pack_versioned_and_identical(raw_ds, tmp_path):
+    """A flow_delta pack is stamped version 3, check_config enforces the
+    encoding match both ways, and the fused pipeline on the delta pack is
+    bit-identical to the plain-pack run (the coding is lossless)."""
+    scene, ds = raw_ds
+    cfg = small_config(scene, wire_flow_half=True, fused_chunk=2)
+    cfg_delta = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, wire_flow_delta=True))
+
+    plain = PackedDataset(pack_dataset(ds, tmp_path / "plain",
+                                       depth_map_factor=1.0, flow_half=True))
+    delta = PackedDataset(pack_dataset(ds, tmp_path / "delta",
+                                       depth_map_factor=1.0, flow_half=True,
+                                       flow_delta=True))
+    assert delta.meta["version"] == 3 and delta.meta["flow_delta"] is True
+    delta.check_config(cfg_delta)
+    with pytest.raises(ValueError):
+        delta.check_config(cfg)            # plain config on a delta pack
+    with pytest.raises(ValueError):
+        plain.check_config(cfg_delta)      # delta config on a plain pack
+
+    sys_plain = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                       mode="fused")
+    sys_plain.run_sequence(plain)
+    sys_delta = System(cfg_delta, enable_local_ba=False,
+                       enable_global_ba=False, mode="fused")
+    sys_delta.run_sequence(delta)
+    assert sys_plain.map.num_frames == sys_delta.map.num_frames
+    for a, b in zip(sys_plain.map.cam_pose, sys_delta.map.cam_pose):
+        np.testing.assert_array_equal(a, b)
+    assert sys_plain.metrics() == sys_delta.metrics()
+
+
 def test_pack_sequence_cli(raw_ds, tmp_path):
     """tools/pack_sequence.py over a reference-layout directory on disk."""
     from vdo_slam_tpu.io.sequence_writer import write_reference_sequence

@@ -33,13 +33,19 @@ def main(argv=None) -> int:
     ap.add_argument("--full-res-flow", action="store_true",
                     help="pack full-resolution flow (8 B/px wire) instead "
                          "of the half-res 5 B/px wire")
+    ap.add_argument("--flow-delta", action="store_true",
+                    help="row-delta entropy-code the fp16 flow planes "
+                         "(lossless; ~2x fewer post-compression bytes on a "
+                         "compressing link — matches tpu_fast's "
+                         "wire_flow_delta; run config must match)")
     ap.add_argument("--frames", type=int, default=None)
     args = ap.parse_args(argv)
 
     ds = SequenceDataset(args.seq_dir)
     out = pack_dataset(ds, args.out_dir,
                        depth_map_factor=args.depth_map_factor,
-                       flow_half=not args.full_res_flow, n=args.frames)
+                       flow_half=not args.full_res_flow, n=args.frames,
+                       flow_delta=args.flow_delta)
     print(f"packed {args.frames or len(ds)} frames -> {out}")
     return 0
 

@@ -111,6 +111,13 @@ class TrackingConfig:
     # shipped bytes on the bench scene).  The device reconstruction stays
     # seg-aware and affine-exact in object interiors (io/packing.py).
     wire_flow_down: int = 0
+    # LOSSLESS row-delta entropy coding of the fp16 flow planes on the wire
+    # (io/packing.py _row_delta_u16): the device reconstructs bit-identical
+    # samples via a mod-2^16 cumsum, but the tunnel's compressor ships
+    # ~2.1x fewer flow bytes (measured 251 -> 117 KB/frame post-compression
+    # on the bench scene at flow_down=2).  Off by default only to keep the
+    # exact-parity wire default; tpu_fast() opts in.
+    wire_flow_delta: bool = False
 
     def __post_init__(self):
         # fail at config time, not deep inside pack/trace (io/packing.py
@@ -124,6 +131,10 @@ class TrackingConfig:
     @property
     def flow_down(self) -> int:
         return self.wire_flow_down or (2 if self.wire_flow_half else 1)
+
+    @property
+    def flow_delta(self) -> bool:
+        return self.wire_flow_delta
     # chunks per output drain: every device->host fetch costs ~1 tunnel
     # round-trip ON THE CRITICAL PATH even from a background thread (the
     # client serializes requests; measured: the 30 ms/frame never-sync
@@ -297,10 +308,16 @@ def tpu_fast(cfg: VDOConfig) -> VDOConfig:
     chip with tracking chunks; at 6 LM iterations the converged cost is
     identical to 12 (4.302e-1 vs 4.301e-1 on the bench window) and the
     device solve drops 187 -> 120 ms, returning that time to tracking.
+
+    wire_flow_delta: lossless row-delta entropy coding of the fp16 flow
+    planes (io/packing.py) — bit-identical reconstruction on device, ~2.1x
+    fewer post-compression bytes on the upload-bound tunnel (measured
+    251 -> 117 KB/frame on the bench scene).
     """
     return cfg.replace(
         solver=dataclasses.replace(cfg.solver, lm_iters_obj=12),
-        tracking=dataclasses.replace(cfg.tracking, wire_flow_half=True),
+        tracking=dataclasses.replace(cfg.tracking, wire_flow_half=True,
+                                     wire_flow_delta=True),
         backend=dataclasses.replace(cfg.backend, local_iters=6),
     )
 

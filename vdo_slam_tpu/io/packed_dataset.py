@@ -19,7 +19,9 @@ On-disk layout (directory):
                     version 1 = flow_down in {1, 2} (the flow_half wire);
                     version 2 = flow_down == 4 (quarter-res flow layout —
                     a v1-era reader would misparse the flat wire, so down=4
-                    packs are stamped with the higher version on purpose)
+                    packs are stamped with the higher version on purpose);
+                    version 3 = flow planes row-delta coded ("flow_delta")
+                    — same length, different encoding, same bump rationale
     frames.i16      memmap (n, wire_len) int16 — one wire buffer per frame
     poses.npy       (n, 4, 4) float32 raw GT camera poses (pose_gt.txt rows)
     obj_rows.npy    (sum_i k_i, 10) float32 concatenated object GT rows
@@ -42,6 +44,9 @@ from .packing import depth_wire_scale, pack_frame
 
 _VERSION = 1          # flow_down in {1, 2}
 _VERSION_DOWN4 = 2    # flow_down == 4 (different wire layout; see docstring)
+_VERSION_DELTA = 3    # flow planes row-delta coded (packing._row_delta_u16):
+#                       same wire length, different encoding — a pre-delta
+#                       reader would decode garbage flow, hence the bump
 
 
 @dataclasses.dataclass
@@ -62,7 +67,8 @@ class PackedFrameData:
 
 def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
                  flow_half: bool = True, n: int | None = None,
-                 flow_down: int | None = None) -> Path:
+                 flow_down: int | None = None,
+                 flow_delta: bool = False) -> Path:
     """Pack any FrameData-yielding dataset into a PackedDataset directory."""
     from .packing import _norm_flow_down
 
@@ -75,7 +81,8 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
     fd0 = dataset[0]
     H, W = fd0.rgb.shape
     w0 = pack_frame(fd0.rgb, fd0.depth_raw, fd0.flow, fd0.mask,
-                    depth_scale=dscale, flow_down=down).ravel()
+                    depth_scale=dscale, flow_down=down,
+                    flow_delta=flow_delta).ravel()
     wire_len = int(w0.size)
 
     buf = np.memmap(out / "frames.i16", dtype=np.int16, mode="w+",
@@ -87,7 +94,7 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
         fd = dataset[i] if i else fd0
         w = (w0 if i == 0 else pack_frame(
             fd.rgb, fd.depth_raw, fd.flow, fd.mask, depth_scale=dscale,
-            flow_down=down).ravel())
+            flow_down=down, flow_delta=flow_delta).ravel())
         buf[i] = w
         poses[i] = np.asarray(fd.pose_gt_raw, np.float32)
         times[i] = float(fd.timestamp)
@@ -102,10 +109,12 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
             np.zeros((0, 10), np.float32))
     np.save(out / "obj_offsets.npy", np.asarray(offs, np.int64))
     (out / "meta.json").write_text(json.dumps({
-        "version": _VERSION_DOWN4 if down == 4 else _VERSION,
+        "version": (_VERSION_DELTA if flow_delta else
+                    _VERSION_DOWN4 if down == 4 else _VERSION),
         "n": n, "H": int(H), "W": int(W),
         "wire_len": wire_len, "depth_scale": float(dscale),
         "flow_half": down == 2, "flow_down": down,
+        "flow_delta": bool(flow_delta),
         "depth_map_factor": float(depth_map_factor),
     }))
     return out
@@ -122,7 +131,8 @@ class PackedDataset:
     def __init__(self, path: str | Path):
         self.dir = Path(path)
         self.meta = json.loads((self.dir / "meta.json").read_text())
-        if self.meta.get("version") not in (_VERSION, _VERSION_DOWN4):
+        if self.meta.get("version") not in (_VERSION, _VERSION_DOWN4,
+                                            _VERSION_DELTA):
             raise ValueError(f"packed dataset version mismatch: {self.meta}")
         n, L = self.meta["n"], self.meta["wire_len"]
         self.frames = np.memmap(self.dir / "frames.i16", dtype=np.int16,
@@ -149,6 +159,11 @@ class PackedDataset:
             raise ValueError(
                 f"packed flow_down={packed_down} != config "
                 f"flow_down={tr.flow_down}")
+        packed_delta = bool(self.meta.get("flow_delta", False))
+        if tr.flow_delta != packed_delta:
+            raise ValueError(
+                f"packed flow_delta={packed_delta} != config "
+                f"flow_delta={tr.flow_delta}")
         if (cfg.camera.height, cfg.camera.width) != (self.meta["H"],
                                                      self.meta["W"]):
             raise ValueError("packed H/W mismatch with config camera")
@@ -169,7 +184,8 @@ class InMemoryPackedDataset:
 
     def __init__(self, dataset, depth_map_factor: float,
                  flow_half: bool = True, n: int | None = None,
-                 flow_down: int | None = None):
+                 flow_down: int | None = None,
+                 flow_delta: bool = False):
         n = len(dataset) if n is None else min(n, len(dataset))
         dscale = depth_wire_scale(depth_map_factor)
         self._items = []
@@ -178,7 +194,8 @@ class InMemoryPackedDataset:
             self._items.append(PackedFrameData(
                 packed=pack_frame(fd.rgb, fd.depth_raw, fd.flow, fd.mask,
                                   depth_scale=dscale, flow_half=flow_half,
-                                  flow_down=flow_down),
+                                  flow_down=flow_down,
+                                  flow_delta=flow_delta),
                 pose_gt_raw=np.asarray(fd.pose_gt_raw, np.float32),
                 obj_gt_rows=np.asarray(fd.obj_gt_rows,
                                        np.float32).reshape(-1, 10),

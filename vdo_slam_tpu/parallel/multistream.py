@@ -201,6 +201,7 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
                 inputs["packed"],
                 depth_scale=depth_wire_scale(tr.depth_map_factor),
                 flow_down=tr.flow_down,
+                flow_delta=tr.flow_delta,
                 hw=(cfg.camera.height, cfg.camera.width))
             unpacked = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                         "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}

@@ -116,7 +116,8 @@ class MultiStreamSystem:
                               np.asarray(fd.depth_raw, np.float32),
                               np.asarray(fd.flow, np.float32),
                               np.asarray(fd.mask), depth_scale=scale,
-                              flow_down=self.cfg.tracking.flow_down)
+                              flow_down=self.cfg.tracking.flow_down,
+                              flow_delta=self.cfg.tracking.flow_delta)
 
         packed = np.stack([_wire(fd) for fd in fds])
         gts = [t._gt_pose(fd.pose_gt_raw)

@@ -231,7 +231,8 @@ class FusedTracker:
                 np.asarray(fd.mask),
                 depth_scale=depth_wire_scale(
                     self.cfg.tracking.depth_map_factor),
-                flow_down=self.cfg.tracking.flow_down),
+                flow_down=self.cfg.tracking.flow_down,
+                flow_delta=self.cfg.tracking.flow_delta),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
             "gt_sems": self._stage_gt_sems(fd),
         })
@@ -268,6 +269,7 @@ class FusedTracker:
             staged["packed"],
             depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor),
             flow_down=self.cfg.tracking.flow_down,
+            flow_delta=self.cfg.tracking.flow_delta,
             hw=(self.cfg.camera.height, self.cfg.camera.width))
         inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                   "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
@@ -439,7 +441,8 @@ class FusedTracker:
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
                 np.asarray(fd.mask), depth_scale=dscale,
-                flow_down=self.cfg.tracking.flow_down))
+                flow_down=self.cfg.tracking.flow_down,
+                flow_delta=self.cfg.tracking.flow_delta))
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),
