@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -279,6 +280,12 @@ def main(hard: bool = False):
     # stage-by-stage probe on real state/inputs, off the timed region
     t0 = time.perf_counter()
     try:
+        # VDO_BENCH_NO_PROBE=1 skips the probe for fast A/B iteration runs
+        # (the 6 prefix programs cost 100-400 s of compile when the
+        # compile-service cache is cold); the driver's round-end run keeps
+        # the probe so BENCH_r* records real per-stage device times
+        if os.environ.get("VDO_BENCH_NO_PROBE"):
+            raise RuntimeError("skipped (VDO_BENCH_NO_PROBE=1)")
         # n_iters=4: resolution 4x per-stage ms (plenty vs the few-ms rep
         # noise) at half the default's compile cost — the 6 prefix programs
         # dominate probe wall time on a cold compile-service cache

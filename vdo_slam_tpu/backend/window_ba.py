@@ -9,6 +9,8 @@ by the tracker (Tracking.cc:1168-1183).
 
 from __future__ import annotations
 
+import time
+
 import jax
 import numpy as np
 
@@ -53,22 +55,26 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
     """n_frames pins the window end (see build_window_graph) so this can run
     on a background thread while tracking appends new frames; write-back
     touches only indices < n_frames."""
+    t0 = time.perf_counter()
     graph, v0, meta = build_window_graph(m, cfg, window, n_frames=n_frames)
     p = _lm_params(cfg, iters)
     v0 = Variables(
         poses=np.asarray(v0.poses), motions=np.asarray(v0.motions),
         points=np.asarray(v0.points),
     )
+    t1 = time.perf_counter()
     # static-only window: points couple only through obs edges, so the exact
     # dense-Schur direct solver applies (and outruns matrix-free PCG)
     solve = lm_solve_schur if solver == "schur" else lm_solve
     v, info = solve(graph, v0, p)
+    t2 = time.perf_counter()
     # ONE batched device->host transfer for everything the write-back and
     # report need: per-array np.asarray/device_get pays a full tunnel
     # round-trip each (~33-70 ms) on remote-attached devices
     poses, points, cost0, cost, stats0, stats = jax.device_get(
         (v.poses, v.points, info["cost0"], info["cost"], info["stats0"],
          info["stats"]))
+    t3 = time.perf_counter()
 
     # write back refined camera poses and recomputed camera motions
     # (Optimizer.cc:1055-1082): vmCameraPose in place, motion = inv(P_a) P_b
@@ -97,4 +103,10 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
         "n_tracks_dropped": meta.n_tracks_dropped,
         "edge_stats0": stats0,
         "edge_stats": stats,
+        # phase split: host graph build / dispatch / device queue+exec+fetch
+        # — separates host-side cost from device-contention wait when a
+        # window solve runs long next to the tracking loop
+        "t_build_ms": (t1 - t0) * 1e3,
+        "t_dispatch_ms": (t2 - t1) * 1e3,
+        "t_fetch_ms": (t3 - t2) * 1e3,
     }

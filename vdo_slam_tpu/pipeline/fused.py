@@ -173,6 +173,15 @@ class FusedTracker:
         self._last_T_wc_gt = np.eye(4, dtype=np.float32)
         self.local_ba_hook = None
         self._ba_thread: threading.Thread | None = None
+        # pending window ends (archive lengths) not yet launched: solves run
+        # strictly sequentially on ONE background thread, and a trigger that
+        # arrives while a solve is in flight is QUEUED instead of joined —
+        # a join here stalls the drainer (and through the batched drains the
+        # whole tracking loop) for the full solve latency.  Measured: the
+        # first mid-stream window solve waits ~3 s on the busy wire; the
+        # blocking join cost ~2.3 s of tracking wall (19.4 -> 28+ fps).
+        self._ba_queue: list[int] = []
+        self._ba_lock = threading.Lock()
         self.ba_failures = 0  # background window solves that raised
         # per-solve health dicts (cost0/cost, points, tracks dropped, edge
         # stats) — the reference's per-window chi2 printouts
@@ -318,39 +327,62 @@ class FusedTracker:
         w, o = tr.window_size, tr.overlap_size
         if (self.local_ba_hook is not None and fid_p >= w - 1
                 and (fid_p - o + 1) % (w - o) == 0):
-            self._join_ba()
-            n_frames = self.map.num_frames
-
-            def run_ba():
-                t5 = time.perf_counter()
-                try:
-                    health = self.local_ba_hook(self.map, n_frames)
-                    ms = (time.perf_counter() - t5) * 1e3
-                    self.map.lba_times.append(ms)
-                    if isinstance(health, dict):
-                        self.ba_health.append(health)
-                        import sys
-
-                        obs = health.get("edge_stats", {}).get("obs", {})
-                        print(
-                            f"[window-ba] end={n_frames} cost "
-                            f"{health['cost0']:.3e} -> {health['cost']:.3e}"
-                            f"  points={health['n_points']}"
-                            f"  obs_inliers={int(obs.get('n_inlier', 0))}/"
-                            f"{int(obs.get('n', 0))}"
-                            f"  tracks_dropped={health['n_tracks_dropped']}"
-                            f"  {ms:.0f}ms", file=sys.stderr)
-                except Exception:
-                    # a lost window solve degrades refinement quality only;
-                    # surface it instead of dying silently on the daemon
-                    import traceback
-
-                    traceback.print_exc()
-                    self.ba_failures += 1
-
-            self._ba_thread = threading.Thread(target=run_ba, daemon=True)
-            self._ba_thread.start()
+            with self._ba_lock:
+                self._ba_queue.append(self.map.num_frames)
+            self._maybe_launch_ba()
         return rep
+
+    def _run_ba(self, n_frames: int):
+        t5 = time.perf_counter()
+        try:
+            health = self.local_ba_hook(self.map, n_frames)
+            ms = (time.perf_counter() - t5) * 1e3
+            self.map.lba_times.append(ms)
+            if isinstance(health, dict):
+                self.ba_health.append(health)
+                import sys
+
+                obs = health.get("edge_stats", {}).get("obs", {})
+                print(
+                    f"[window-ba] end={n_frames} cost "
+                    f"{health['cost0']:.3e} -> {health['cost']:.3e}"
+                    f"  points={health['n_points']}"
+                    f"  obs_inliers={int(obs.get('n_inlier', 0))}/"
+                    f"{int(obs.get('n', 0))}"
+                    f"  tracks_dropped={health['n_tracks_dropped']}"
+                    f"  {ms:.0f}ms (build "
+                    f"{health.get('t_build_ms', 0):.0f} dispatch "
+                    f"{health.get('t_dispatch_ms', 0):.0f} fetch "
+                    f"{health.get('t_fetch_ms', 0):.0f})",
+                    file=sys.stderr)
+        except Exception:
+            # a lost window solve degrades refinement quality only;
+            # surface it instead of dying silently on the daemon
+            import traceback
+
+            traceback.print_exc()
+            self.ba_failures += 1
+        finally:
+            # hand the thread slot over and launch the next queued window
+            with self._ba_lock:
+                self._ba_thread = None
+            self._maybe_launch_ba()
+
+    def _maybe_launch_ba(self):
+        """Launch the next queued window solve iff none is in flight.
+        Solves stay strictly sequential (write-back of window k completes
+        before window k+1's graph build reads the refined poses), but the
+        trigger path never blocks on an in-flight solve."""
+        with self._ba_lock:
+            if self._ba_thread is not None or not self._ba_queue:
+                return
+            n_frames = self._ba_queue.pop(0)
+            t = threading.Thread(target=self._run_ba, args=(n_frames,),
+                                 daemon=True)
+            self._ba_thread = t
+            # started under the lock: a concurrent trigger must never see a
+            # claimed-but-unstarted slot as free
+            t.start()
 
     def _drain_pending(self):
         """Archive the previous frame's (async-copied) outputs."""
@@ -391,9 +423,18 @@ class FusedTracker:
         return reps
 
     def _join_ba(self):
-        if self._ba_thread is not None:
-            self._ba_thread.join()
-            self._ba_thread = None
+        """Drain ALL queued + in-flight window solves (sequence flush)."""
+        while True:
+            with self._ba_lock:
+                t = self._ba_thread
+                if t is None and not self._ba_queue:
+                    return
+            if t is not None:
+                t.join()
+            else:
+                # queued but not launched (the finishing thread is between
+                # releasing the slot and its trailing _maybe_launch_ba)
+                self._maybe_launch_ba()
 
     def grab_frame(self, fd: FrameData, staged: dict | None = None,
                    prefetch_cb=None) -> dict:
