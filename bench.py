@@ -212,8 +212,9 @@ def main(hard: bool = False):
         tracking=dataclasses.replace(
             TrackingConfig(), dataset=KITTI, depth_map_factor=256.0,
             # 4 frames per device call (unrolled scan): amortizes the
-            # ~50 ms/call dispatch+transfer overhead of the remote tunnel
-            fused_chunk=4,
+            # ~50 ms/call dispatch+transfer overhead of the remote tunnel.
+            # VDO_BENCH_CHUNK overrides for A/B experiments.
+            fused_chunk=int(os.environ.get("VDO_BENCH_CHUNK", "4")),
         ),
         shapes=ShapeConfig(),
         # fixed full-graph capacities (deterministic shapes -> the full-BA
