@@ -155,11 +155,15 @@ def _upsample2x_seg(f, seg):
     s00, s01 = sh, pad_r(sh)
     s10, s11 = pad_d(sh), pad_r(pad_d(sh))
 
-    # output phases: (dy, dx) in the 2x2 cell -> bilinear corner weights
-    out = jnp.zeros((2 * h, 2 * w, 2), f.dtype)
+    # output phases: (dy, dx) in the 2x2 cell -> bilinear corner weights.
+    # The four phase grids are interleaved by a stack+transpose+reshape
+    # (pure data movement XLA lays out for free) instead of four strided
+    # scatters, which TPU lowers as real scatter kernels.
     phases = {(0, 0): (1.0, 0.0, 0.0, 0.0), (0, 1): (.5, .5, 0.0, 0.0),
               (1, 0): (.5, 0.0, .5, 0.0), (1, 1): (.25, .25, .25, .25)}
-    for (dy, dx), (w00, w01, w10, w11) in phases.items():
+    vals = []
+    for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        w00, w01, w10, w11 = phases[(dy, dx)]
         lab = seg2[dy::2, dx::2]                           # (h, w)
         ws = []
         acc = 0.0
@@ -173,9 +177,11 @@ def _upsample2x_seg(f, seg):
             macc = macc + m
             ws.append((wgt, fv))
         plain = sum(wgt * fv for wgt, fv in ws)
-        val = jnp.where(macc > 0, acc / jnp.maximum(macc, 1e-6), plain)
-        out = out.at[dy::2, dx::2].set(val)
-    return out
+        vals.append(jnp.where(macc > 0, acc / jnp.maximum(macc, 1e-6),
+                              plain))
+    # (2, 2, h, w, 2) -> out[2i+dy, 2j+dx] = vals[dy][dx][i, j]
+    grid = jnp.stack(vals).reshape(2, 2, h, w, 2)
+    return grid.transpose(2, 0, 3, 1, 4).reshape(2 * h, 2 * w, 2)
 
 
 def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
