@@ -157,6 +157,45 @@ def jnp_stack(xs):
     return jnp.stack(xs)
 
 
+def _env_overrides(cfg):
+    """VDO_BENCH_* env knobs for on-rig A/B experiments (bench numbers only
+    compare within minutes of each other, so sweeps run as env-varied
+    back-to-back processes instead of repo edits — CLAUDE.md)."""
+    tr, so, be = {}, {}, {}
+    env = os.environ
+    if "VDO_BENCH_FLOW_DOWN" in env:
+        tr["wire_flow_down"] = int(env["VDO_BENCH_FLOW_DOWN"])
+    if "VDO_BENCH_DRAIN" in env:
+        tr["fused_drain_chunks"] = int(env["VDO_BENCH_DRAIN"])
+    if "VDO_BENCH_MASK_PROP" in env:
+        tr["fused_mask_prop"] = bool(int(env["VDO_BENCH_MASK_PROP"]))
+    if "VDO_BENCH_CAM_ITERS" in env:
+        so["lm_iters"] = int(env["VDO_BENCH_CAM_ITERS"])
+    if "VDO_BENCH_OBJ_ITERS" in env:
+        so["lm_iters_obj"] = int(env["VDO_BENCH_OBJ_ITERS"])
+    if "VDO_BENCH_REFIT" in env:
+        so["refit_init"] = bool(int(env["VDO_BENCH_REFIT"]))
+    if "VDO_BENCH_FULL_ITERS" in env:
+        be["full_iters"] = int(env["VDO_BENCH_FULL_ITERS"])
+    if "VDO_BENCH_FULL_CHUNK" in env:
+        be["full_ba_chunk"] = int(env["VDO_BENCH_FULL_CHUNK"])
+    if "VDO_BENCH_CG_UNROLL" in env:
+        be["cg_unroll"] = int(env["VDO_BENCH_CG_UNROLL"])
+    if "VDO_BENCH_LOCAL_UNROLL" in env:
+        be["local_unroll"] = int(env["VDO_BENCH_LOCAL_UNROLL"])
+    if "VDO_BENCH_LOCAL_ITERS" in env:
+        be["local_iters"] = int(env["VDO_BENCH_LOCAL_ITERS"])
+    if tr:
+        cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tr))
+    if so:
+        cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **so))
+    if be:
+        cfg = cfg.replace(backend=dataclasses.replace(cfg.backend, **be))
+    if tr or so or be:
+        log(f"env overrides: tracking={tr} solver={so} backend={be}")
+    return cfg
+
+
 def main(hard: bool = False):
     import jax
 
@@ -226,6 +265,7 @@ def main(hard: bool = False):
         ),
     )
     cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
+    cfg = _env_overrides(cfg)
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     # pre-packed ingest (io/packed_dataset.py): the wire format as the
     # dataset.  The single-core host's per-frame pack (~10-20 ms of numpy)
@@ -295,6 +335,12 @@ def main(hard: bool = False):
         log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
             f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
             + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
+        from vdo_slam_tpu.parallel.multistream import PROBE_SPANS
+
+        span_sum = sum(stage_ms[k] for k in PROBE_SPANS)
+        fm = stage_ms.get("_frame_ms", 0.0)
+        log(f"span coverage: sum(spans)={span_sum:.1f}ms vs "
+            f"frame={fm:.1f}ms ({span_sum / max(fm, 1e-9) * 100:.0f}%)")
     except Exception as e:  # probe failure must not kill the bench
         log(f"stage probe FAILED after {time.perf_counter() - t0:.1f}s: {e}")
 

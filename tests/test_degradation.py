@@ -79,6 +79,73 @@ class TestDegradedInputs:
         assert rep["n_obj_estimates"] >= 3, rep
 
 
+class TestMaskDropRecovery:
+    """Total instance-mask dropout — the exact failure UpdateMask exists for
+    (Tracking.cc:3049-3066): the segmenter loses an object for 1-2 frames;
+    the mask-propagation repair must re-synthesize it from the last frame's
+    mask warped by flow so the track SURVIVES with the same id.  Runs on the
+    fused/production path (stages.make_mask_prop fused into the device step,
+    parallel/multistream.py)."""
+
+    DROP_FRAMES = (4, 5)
+    DROP_LABEL = 1
+
+    def _dropped_scene(self, clean_scene):
+        mask = clean_scene.mask.copy()
+        for f in self.DROP_FRAMES:
+            mask[f] = np.where(mask[f] == self.DROP_LABEL, 0, mask[f])
+        return dataclasses.replace(clean_scene, mask=mask)
+
+    def _sem_tracks(self, sysm):
+        """frame -> {sem_label: model_label} from the archive."""
+        out = {}
+        for f in range(len(sysm.map.sem_label)):
+            sems = sysm.map.sem_label[f]
+            labs = sysm.map.rm_label[f]
+            out[f + 1] = {int(s): int(l) for s, l in zip(sems[1:], labs[1:])}
+        return out
+
+    def test_track_survives_mask_drop(self, clean_scene):
+        scene = self._dropped_scene(clean_scene)
+        sysm, _ = _run(scene, cfg_scene=clean_scene)
+        tracks = self._sem_tracks(sysm)
+        # the object is estimated THROUGH the dropped frames...
+        ids = {f: tracks[f].get(self.DROP_LABEL) for f in (3, 4, 5, 6)}
+        assert all(i is not None for i in ids.values()), tracks
+        # ...with the SAME persistent model id (no re-seed as a new object)
+        assert len(set(ids.values())) == 1, ids
+        # and accuracy on the repaired frames stays in the clean regime
+        rep = sysm.metrics()
+        assert rep["obj_t_rpe"] < 0.15, rep
+
+    def test_without_repair_the_track_dies(self, clean_scene):
+        """Control: with fused_mask_prop off, the dropped mask loses the
+        object on those frames — proves the test exercises the repair."""
+        scene = self._dropped_scene(clean_scene)
+        cfg = small_config(clean_scene, fused_mask_prop=False)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="fused")
+        sysm.run_sequence(ds)
+        tracks = self._sem_tracks(sysm)
+        assert any(tracks[f].get(self.DROP_LABEL) is None
+                   for f in self.DROP_FRAMES), tracks
+
+    def test_host_path_parity(self, clean_scene):
+        """The host Tracker (reference-bookkeeping path) recovers the same
+        way — host-vs-fused behavioral parity under mask dropout."""
+        scene = self._dropped_scene(clean_scene)
+        cfg = small_config(clean_scene)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        sysm = System(cfg, enable_local_ba=False, enable_global_ba=False,
+                      mode="reference")
+        sysm.run_sequence(ds)
+        tracks = self._sem_tracks(sysm)
+        ids = {f: tracks[f].get(self.DROP_LABEL) for f in (3, 4, 5, 6)}
+        assert all(i is not None for i in ids.values()), tracks
+        assert len(set(ids.values())) == 1, ids
+
+
 class TestCrowdedScene:
     def test_ten_objects_with_occlusion_crossings(self):
         """10 objects (over the max_objects=8 slot budget) with lateral

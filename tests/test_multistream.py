@@ -260,11 +260,12 @@ class TestStageProbe:
         times = sysm.tracker.calibrate_stage_times(ds[3], rounds=1,
                                                    n_iters=2)
         assert times.pop("_rtt_ms") >= 0.0
-        # the production-body measurement (spans + wire unpack + output
-        # pack) must exist alongside the 5 reference spans
+        # the production-body measurement must exist alongside the probe
+        # spans (the 5 reference spans + wire unpack + output pack)
         assert times.pop("_frame_ms") > 0.0
-        assert set(times) == {"mask_update", "camera_est", "obj_track",
-                              "obj_est", "map_update"}
+        from vdo_slam_tpu.parallel.multistream import PROBE_SPANS
+
+        assert set(times) == set(PROBE_SPANS)
         assert sum(times.values()) > 0.0, times
         # every archived frame (incl. ones archived before calibration)
         # carries the measured split

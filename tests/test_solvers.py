@@ -158,6 +158,47 @@ class TestRansac:
         assert pose_err(T, pb["T_cw_cur"]) < 0.02
         assert np.asarray(mask)[: pb["n_out"]].sum() < 5
 
+    def test_kabsch_polar_matches_svd_kabsch(self):
+        # noisy, non-uniformly weighted problem: the SVD-free polar solve
+        # must agree with the classic SVD Kabsch to fp32 round-off
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        P = jax.random.normal(k1, (64, 3)) * 4.0
+        T_true = se3.exp(jnp.asarray([-0.4, 0.25, 0.6, 0.5, -1.5, 2.0]))
+        Q = se3.apply(T_true, P) + 0.05 * jax.random.normal(k2, (64, 3))
+        w = jax.random.uniform(k3, (64,), minval=0.0, maxval=1.0)
+        T_svd = ransac.kabsch(P, Q, w)
+        T_pol = ransac.kabsch_polar(P, Q, w, jnp.eye(4))
+        assert pose_err(T_svd, T_pol) < 1e-4
+        assert pose_err(T_pol, T_true) < 0.05
+
+    def test_kabsch_polar_degenerate_falls_back(self):
+        P = jnp.zeros((16, 3))
+        Q = jnp.zeros((16, 3))
+        T_fb = se3.exp(jnp.asarray([0.1, 0.2, 0.3, 1.0, 2.0, 3.0]))
+        # all-zero weights and collinear/degenerate points -> fallback
+        T = ransac.kabsch_polar(P, Q, jnp.zeros(16), T_fb)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_fb))
+        # 2 inliers only (under the 3-point minimum) -> fallback
+        w2 = jnp.zeros(16).at[0].set(1.0).at[1].set(1.0)
+        P2 = jnp.asarray(np.random.RandomState(0).randn(16, 3), jnp.float32)
+        T = ransac.kabsch_polar(P2, P2, w2, T_fb)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_fb))
+
+    def test_refit_init_beats_triangle_hypothesis(self):
+        # refine_with_inliers (all-inlier polish) must land closer to the
+        # true pose than the raw 3-point RANSAC winner on noisy 3D targets
+        pb = make_problem(jax.random.PRNGKey(12), pose_scale=0.15, noise=0.4)
+        uv_cur = pb["uv_last"] + pb["flow"]
+        z_cur = se3.apply(pb["T_cw_cur"], pb["X_w_cur"])[..., 2]
+        X_tgt = camera.unproject(uv_cur, z_cur, K)
+        T_r, mask, _ = ransac.ransac_rigid(
+            pb["X_w"], X_tgt, uv_cur, pb["valid"], K, jax.random.PRNGKey(4),
+            n_samples=256, thres=2.0,
+        )
+        T_ref = ransac.refine_with_inliers(T_r, pb["X_w"], X_tgt, mask)
+        assert pose_err(T_ref, pb["T_cw_cur"]) < pose_err(T_r, pb["T_cw_cur"])
+
     def test_choose_init_prefers_motion_model_when_better(self):
         pb = make_problem(jax.random.PRNGKey(10))
         uv_cur = pb["uv_last"] + pb["flow"]

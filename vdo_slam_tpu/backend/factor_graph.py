@@ -83,6 +83,16 @@ class LMParams:
     cg_tol: float = 1e-6          # INERT in _pcg (see note there): both
                                   # live-tol designs measured slower +
                                   # compile-hostile on TPU; tune cg_iters
+    cg_unroll: int = 4            # PCG scan unroll (see _pcg): 4 = the
+                                  # compile/runtime sweet spot when compiles
+                                  # land on the critical path; a full unroll
+                                  # (= cg_iters) runs faster still and is
+                                  # FREE when the executable compiles on the
+                                  # background warmup thread (full BA)
+    lm_unroll: int = 4            # LM-step scan unroll (lm_solve_schur):
+                                  # same tradeoff; the window-BA executable
+                                  # is warmed in the background so a full
+                                  # unroll only costs warmup wall time
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.5
@@ -574,7 +584,8 @@ def lm_solve(g: Graph, v0: Variables, p: LMParams, lam0=None):
             )
 
         delta = _pcg(mv, lambda t: _apply_precond(D_prec, t),
-                     grad.scale(-1.0), p.cg_iters, p.cg_tol)
+                     grad.scale(-1.0), p.cg_iters, p.cg_tol,
+                     unroll=p.cg_unroll)
         v_new = _retract_vars(v, delta)
         new_cost = robust_cost(g, v_new, p)
         accept = new_cost < cost
@@ -751,7 +762,7 @@ def lm_solve_schur(g: Graph, v0: Variables, p: LMParams):
     # window graph (12-iter solve 704 -> 187 ms warm, round 3)
     (v, _, cost), history = jax.lax.scan(
         step, (v0, jnp.asarray(p.lambda_init), cost0), None, length=p.iters,
-        unroll=min(p.iters, 4),
+        unroll=min(p.iters, p.lm_unroll),
     )
     return v, {"cost0": cost0, "cost": cost, "history": history,
                "stats0": edge_type_stats(g, v0, p),

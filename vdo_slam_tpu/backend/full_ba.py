@@ -22,15 +22,15 @@ from .builders import build_full_graph, empty_full_graph
 from .factor_graph import (LMParams, Variables, lm_solve, lm_solve_chunked,
                            lm_solve_sharded_chunked)
 
-# LM iterations per device call.  Two forces: (a) the remote worker kills
-# single programs over ~60-90 s, so iterations must be chunked at all
-# (~0.5 s per warm LM iteration on the 114k-point bench graph); (b) the
-# cross-chunk gain test (g2o SparseOptimizerTerminateAction semantics,
-# Optimizer.cc:140-142) only evaluates at chunk boundaries — chunk=9 with
-# the default 9-iteration budget could NEVER stop early and burned ~1.6 s
-# of converged iterations on the bench (accuracy plateaus at LM iter 4-5,
-# DESIGN §11).  chunk=3 pays 2 extra host syncs (~0.1 s each) and lets the
-# solve terminate at 6 iterations on the bench graph.
+# Default LM iterations per device call (BackendConfig.full_ba_chunk).
+# Two forces: (a) the remote worker kills single programs over ~60-90 s, so
+# iterations must be chunked at all (~0.5 s per warm LM iteration on the
+# 114k-point bench graph); (b) the cross-chunk gain test (g2o
+# SparseOptimizerTerminateAction semantics, Optimizer.cc:140-142) only
+# evaluates at chunk boundaries — chunk=9 with a 9-iteration budget could
+# NEVER stop early and burned ~1.6 s of converged iterations on the bench
+# (accuracy plateaus at LM iter 4-5, DESIGN §11).  chunk=3 pays extra host
+# syncs (~0.1 s each) but lets the solve terminate early.
 FULL_BA_CHUNK = 3
 
 
@@ -40,6 +40,7 @@ def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
         iters=iters if iters is not None else be.full_iters,
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
+        cg_unroll=be.cg_unroll,
         huber_delta=be.huber_delta,
         pose_huber_delta=be.pose_huber_delta,
         robust=be.robust_kernel,
@@ -80,7 +81,8 @@ def warmup_full_ba(cfg: VDOConfig, n_frames: int) -> None:
     ValueError if the caps are unset."""
     g, v = empty_full_graph(cfg, n_frames)
     p = dataclasses.replace(scaled_lm_params(cfg, g.obs_w.shape[0]),
-                            iters=FULL_BA_CHUNK)
+                            iters=min(cfg.backend.full_ba_chunk,
+                                      cfg.backend.full_iters))
     lam = jnp.asarray(p.lambda_init, jnp.float32)
     _, info = lm_solve(g, v, p, lam0=lam)
     float(jax.device_get(info["cost"]))  # block until loaded + executed
@@ -101,6 +103,7 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
     # worker kills single programs over ~60-90 s).
     devices = jax.devices()
     sharded = len(devices) > 1
+    chunk = min(cfg.backend.full_ba_chunk, p.iters)
     if not sharded:
         # one upload for all chunks (numpy args re-transfer per call
         # otherwise); the sharded path pads first, then shards internally
@@ -113,11 +116,11 @@ def full_ba_inplace(m: MapState, cfg: VDOConfig, iters: int | None = None) -> di
     if sharded:
         mesh = jax.sharding.Mesh(np.asarray(devices), ("ba",))
         v, info = lm_solve_sharded_chunked(
-            graph, v0, p, mesh, chunk=FULL_BA_CHUNK,
+            graph, v0, p, mesh, chunk=chunk,
             callback=lambda i, _: chunk_times.append(time.perf_counter()))
     else:
         v, info = lm_solve_chunked(
-            graph, v0, p, chunk=FULL_BA_CHUNK,
+            graph, v0, p, chunk=chunk,
             callback=lambda i, _: chunk_times.append(time.perf_counter()))
     # ONE batched device->host transfer (per-array np.asarray pays a full
     # tunnel round-trip each on remote-attached devices)

@@ -33,6 +33,7 @@ def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
         iters=iters if iters is not None else min(be.local_iters, 12),
         cg_iters=be.cg_iters,
         cg_tol=be.cg_tol,
+        lm_unroll=be.local_unroll,
         huber_delta=be.huber_delta,
         pose_huber_delta=be.pose_huber_delta,
         robust=be.robust_kernel,
@@ -68,12 +69,16 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
     solve = lm_solve_schur if solver == "schur" else lm_solve
     v, info = solve(graph, v0, p)
     t2 = time.perf_counter()
+    # sync on ONE scalar first: splits device queue+execution wait (t_exec)
+    # from the payload drain (t_fetch) — the round-4 report lumped both into
+    # "fetch", which misread ~110 ms of solve execution as transfer cost
+    cost = float(jax.device_get(info["cost"]))
+    t2b = time.perf_counter()
     # ONE batched device->host transfer for everything the write-back and
     # report need: per-array np.asarray/device_get pays a full tunnel
     # round-trip each (~33-70 ms) on remote-attached devices
-    poses, points, cost0, cost, stats0, stats = jax.device_get(
-        (v.poses, v.points, info["cost0"], info["cost"], info["stats0"],
-         info["stats"]))
+    poses, points, cost0, stats0, stats = jax.device_get(
+        (v.poses, v.points, info["cost0"], info["stats0"], info["stats"]))
     t3 = time.perf_counter()
 
     # write back refined camera poses and recomputed camera motions
@@ -103,10 +108,12 @@ def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,
         "n_tracks_dropped": meta.n_tracks_dropped,
         "edge_stats0": stats0,
         "edge_stats": stats,
-        # phase split: host graph build / dispatch / device queue+exec+fetch
-        # — separates host-side cost from device-contention wait when a
-        # window solve runs long next to the tracking loop
+        # phase split: host graph build / dispatch / device queue+execution
+        # (scalar-synced) / payload drain — separates host cost, device-
+        # contention wait, and transfer when a window solve runs long next
+        # to the tracking loop
         "t_build_ms": (t1 - t0) * 1e3,
         "t_dispatch_ms": (t2 - t1) * 1e3,
-        "t_fetch_ms": (t3 - t2) * 1e3,
+        "t_exec_ms": (t2b - t2) * 1e3,
+        "t_fetch_ms": (t3 - t2b) * 1e3,
     }

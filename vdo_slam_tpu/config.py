@@ -90,6 +90,11 @@ class TrackingConfig:
     renew_depth_gate_bg: float = 40.0  # Tracking.cc:2691
     renew_depth_gate_obj: float = 25.0 # Tracking.cc:2849
     mask_recover_min_points: int = 100 # Tracking.cc:3044 (LabTmp.size()<100)
+    # run the UpdateMask label-propagation repair (Tracking.cc:2997-3241)
+    # inside the fused/multistream device step (the host path always runs
+    # it); the repair scatter is lax.cond-gated so the steady state pays
+    # only the O(features) lost-mask vote
+    fused_mask_prop: bool = True
     # depth-noise fault injection (Frame.cc:489-493): sigma = z^2/(725*0.5)*0.15
     depth_noise: bool = False
     depth_noise_scale: float = 0.15 / (725.0 * 0.5)
@@ -171,6 +176,14 @@ class SolverConfig:
                                        # 16% cam_t on the degraded scene)
     lm_lambda_init: float = 1e-5
     lm_lambda_factor: float = 10.0
+    # all-inlier rigid re-fit of the RANSAC / motion-model winner before the
+    # flow-LM (solvers/ransac.refine_with_inliers, SVD-free polar Kabsch).
+    # A 3-point hypothesis is exact only up to the noise on its 3 points;
+    # the all-inlier fit is the ML rigid estimate, so the LM starts inside
+    # its quadratic basin — the enabler for the reduced iteration counts in
+    # tpu_fast() (the reference re-runs full LM from the raw init instead,
+    # Tracking.cc:1693-1713 -> Optimizer.cc:2333).
+    refit_init: bool = True
     lm_unroll: int = 2                 # fixed-length scan(unroll=k) LM: same
                                        # speed as while_loop on TPU but keeps
                                        # iteration count exact + vmap-friendly
@@ -185,6 +198,11 @@ class BackendConfig:
     local_sigma2_3d_sta: float = 16.0  # Optimizer.cc:191
     local_gain_thres: float = 1e-3     # Optimizer.cc:141
     local_iters: int = 100
+    # LM-step scan unroll of the window solve (factor_graph.lm_solve_schur):
+    # the executable is compiled + first-executed on the background warmup
+    # thread (warmup_window_ba), so a full unroll (= local_iters under
+    # tpu_fast) costs warmup wall only and shortens every mid-run solve.
+    local_unroll: int = 4
     # full-batch BA — Optimizer::FullBatchOptimization (Optimizer.cc:1232-)
     # Odometry-chain information in the full BA.  The reference ships
     # sigma2_cam=1e-3 for KITTI and 1e-4 for OMD ("// 0.005 0.001 (ox:)
@@ -232,6 +250,17 @@ class BackendConfig:
     # preconditioner makes the inner solves over-converge beyond ~12.
     cg_iters: int = 12
     cg_tol: float = 1e-6
+    # PCG scan unroll for the full BA (factor_graph._pcg).  unroll=4 was the
+    # round-1 compile/runtime sweet spot; with the full-BA executable now
+    # compiled + first-executed on the background warmup thread
+    # (warmup_full_ba), a deeper unroll's compile cost is off the critical
+    # path and only the runtime win remains.
+    cg_unroll: int = 4
+    # LM iterations per device call of the full BA (full_ba.FULL_BA_CHUNK
+    # default): the remote worker kills single programs over ~60-90 s, and
+    # the cross-chunk gain test only evaluates at chunk boundaries.  Must
+    # divide full_iters (a remainder tail compiles a fresh program).
+    full_ba_chunk: int = 3
     # Optional fixed capacities for the FULL graph (obs edges, ternary edges,
     # point vertices, motion vertices, smoothness edges).  When set, graph
     # shapes are deterministic given the frame count, so the full-BA

@@ -218,17 +218,28 @@ def propagate_mask(seg_cur, seg_last, flow_last, obj_corres_last,
     max_nonzero = jnp.max(votes, axis=0)
     lost = (total >= min_points) & (zeros > max_nonzero) & (label_table > 0)
 
-    # scatter all lost labels at once: target = pixel + flow (int, like ref)
-    pix_label = seg_last
-    is_lost_pixel = jnp.isin(pix_label, jnp.where(lost, label_table, -999999))
-    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    fx = flow_last[..., 0].astype(jnp.int32)
-    fy = flow_last[..., 1].astype(jnp.int32)
-    tx = xs + fx
-    ty = ys + fy
-    inb_t = (tx > 0) & (tx < W) & (ty > 0) & (ty < H) & is_lost_pixel
-    flat_idx = jnp.where(inb_t, ty * W + tx, H * W)  # overflow -> dropped
-    new_flat = seg_cur.reshape(-1).at[flat_idx].set(
-        jnp.where(inb_t, pix_label, 0), mode="drop"
-    )
-    return new_flat.reshape(H, W), lost
+    def repair(seg_cur):
+        # scatter all lost labels at once: target = pixel + flow (int, like
+        # the reference's per-pixel loop at Tracking.cc:3050-3066)
+        pix_label = seg_last
+        is_lost_pixel = jnp.isin(pix_label,
+                                 jnp.where(lost, label_table, -999999))
+        ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+        fx = flow_last[..., 0].astype(jnp.int32)
+        fy = flow_last[..., 1].astype(jnp.int32)
+        tx = xs + fx
+        ty = ys + fy
+        inb_t = (tx > 0) & (tx < W) & (ty > 0) & (ty < H) & is_lost_pixel
+        flat_idx = jnp.where(inb_t, ty * W + tx, H * W)  # overflow -> drop
+        new_flat = seg_cur.reshape(-1).at[flat_idx].set(
+            jnp.where(inb_t, pix_label, 0), mode="drop"
+        )
+        return new_flat.reshape(H, W)
+
+    # the vote (O(D) gathers + segment sums) runs every frame; the H*W
+    # repair scatter only when a mask was actually lost — on the fused
+    # production path this keeps the steady-state frame step free of the
+    # scatter (under vmap the cond lowers to a select and both branches run,
+    # which simply matches the host path's unconditional cost)
+    seg_out = jax.lax.cond(jnp.any(lost), repair, lambda s: s, seg_cur)
+    return seg_out, lost

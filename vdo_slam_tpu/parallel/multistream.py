@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import VDOConfig
 from ..geometry import se3
-from ..ops import frontend
+from ..ops import frontend, select
 from ..ops.image import gather_int
 from ..pipeline import stages
 from ..pipeline.state import DynamicBank, FrameState, StaticBank
@@ -64,6 +64,7 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
     # (vmap of the Pallas FAST kernel routes to its batched-grid variant via
     # custom_vmap, so the auto detector choice holds for multi-stream too)
     prep_fn = _unjit(stages.make_prepare(cfg, use_pallas=None))
+    mask_prop_fn = _unjit(stages.make_mask_prop(cfg))
     inherit_fn = _unjit(stages.make_inherit(cfg))
     camera_fn = _unjit(stages.make_camera_stage(cfg))
     sflow_fn = _unjit(stages.make_scene_flow(cfg))
@@ -73,14 +74,38 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
     ]
     init_fn = _unjit(stages.make_init_stage(cfg))
     classify_fn = stages.make_device_classifier(cfg)
+    L_tab = cfg.shapes.max_sem_labels
+
+    def _label_table(dyn_last):
+        """Device-side analog of the host Tracker's np.unique label table
+        (tracking.py:204-206): the distinct positive sem labels of the last
+        frame's valid dynamic features, ranked by population."""
+        ok = dyn_last.valid & (dyn_last.sem_label > 0)
+        lab = jnp.clip(dyn_last.sem_label, 0, 255)
+        counts = jax.ops.segment_sum(
+            jnp.where(ok, 1.0, 0.0), jnp.where(ok, lab, 0), num_segments=256
+        ).at[0].set(0.0)
+        idx, tv = select.masked_top_k(counts, counts > 0, L_tab)
+        return jnp.where(tv, idx, 0).astype(jnp.int32)
 
     def track_body(state, inputs, key):
         last: FrameState = state["frame"]
         k1, k2, k3, k4 = jax.random.split(key, 4)
+        # mask-propagation repair (UpdateMask, Tracking.cc:2997-3241): an
+        # instance mask the segmenter lost this frame is recovered from the
+        # last frame's mask warped by its flow — same recovery the host path
+        # runs (tracking.py:207), here fused into the device step (track_body
+        # only runs for frames >= 1, so last.seg/flow_map are real maps)
+        if tr.fused_mask_prop:
+            seg_in, _lost = mask_prop_fn(inputs["seg"], last.seg,
+                                         last.flow_map, last.dynamic,
+                                         _label_table(last.dynamic))
+        else:
+            seg_in = inputs["seg"]
         prep = prep_fn(inputs["rgb"], inputs["depth_raw"], inputs["flow"],
-                       inputs["seg"], k1)
+                       seg_in, k1)
         depth = prep["depth"]
-        seg = inputs["seg"]
+        seg = seg_in
         stat_cur, dyn_cur = inherit_fn(last.static, last.dynamic, depth, seg)
         cam_out = camera_fn(
             last.static, stat_cur["xy"], stat_cur["depth"], last.T_cw,
@@ -225,6 +250,10 @@ def _unjit(fn):
 
 STAGE_SPANS = ("mask_update", "camera_est", "obj_track", "obj_est",
                "map_update")
+# full probe span set: the 5 reference spans plus the two fused-path-only
+# costs (int16 wire decode before, output flattening after) so the spans
+# account for the whole frame program
+PROBE_SPANS = ("wire_unpack",) + STAGE_SPANS + ("output_pack",)
 
 
 def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
@@ -232,39 +261,46 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
     5-span timing harness (Map.h:83-84, System.cc:204-237) where the
     production step is ONE fused executable that can't be timed from inside.
 
-    Method: 6 PREFIX programs, where prefix k runs spans 1..k of the frame
-    step chained inside ONE jit, repeated `n_iters` times via an unrolled
-    lax.scan (unrolled to match the production chunk step's layout
-    specialization).  Iterations are serialized by perturbing the inputs
-    with `z * checksum(previous outputs)` where z is a RUNTIME zero — the
-    compiler cannot hoist or CSE the loop body, and at run time the inputs
-    are bit-identical every iteration.  Then
+    Method: 8 PREFIX programs, where prefix k runs spans 1..k of the PACKED
+    frame step chained inside ONE jit, repeated `n_iters` times via an
+    unrolled lax.scan (unrolled to match the production chunk step's layout
+    specialization).  Iterations are serialized by perturbing the packed
+    wire buffer with `(z * checksum(previous outputs)).astype(int16)` where
+    z is a RUNTIME zero — the compiler cannot hoist or CSE the loop body
+    (including the wire unpack), and at run time the inputs are
+    bit-identical every iteration.  Then
 
         span_ms[k] = (T(prefix_k) - T(prefix_{k-1})) / n_iters
 
     nets out dispatch + tunnel round-trip EXACTLY (both prefixes pay it
-    once), unlike the subtract-rtt single-shot probe this replaces, which
-    reported 0.0 for every stage whose device time was below the ~38 ms
-    per-call round-trip.  Prefix 0 is a trivial program whose wall time IS
-    the dispatch baseline.
+    once).  Prefix 0 is a trivial program whose wall time IS the dispatch
+    baseline.  Deltas are reported SIGNED: a small negative span means the
+    longer prefix fused/scheduled better than the shorter one — clamping it
+    to 0 (as the round-4 probe did) silently hides real spans of the same
+    magnitude.
 
     Span map (reference spans -> fused stages):
-      mask_update  -> prepare (depth preprocess, detection, candidates)
-                      + inheritance (Tracking.cc:180-244, 2997-3241)
+      wire_unpack  -> int16 wire decode (io/packing.unpack_frame; no
+                      reference analog — the fused path's staging format)
+      mask_update  -> mask propagation + prepare + inheritance
+                      (Tracking.cc:180-244, 2997-3241)
       camera_est   -> camera RANSAC + flow-LM (Tracking.cc:683-713)
       obj_track    -> scene flow + dynamic classifier (Tracking.cc:754-761)
       obj_est      -> vmapped per-object motion LM (Tracking.cc:868-1001)
       map_update   -> static + dynamic feature renewal (Tracking.cc:1017)
+      output_pack  -> flattening the outputs into the single wire vector
+                      (pipeline/fused._pack_outputs)
 
     Caveats: checksums cover EVERY span output (nothing is dead-code
     eliminated), so cross-span fusion the production program enjoys is
     attributed to the producing span; PRNG bit generation is hoisted out of
-    the loop (negligible).  Returns probe(state, inputs, key) ->
-    (times_ms dict, dispatch_ms)."""
+    the loop (negligible).  Returns probe(state, packed_inputs, key) ->
+    (times_ms dict incl. _frame_ms, dispatch_ms)."""
     import time as _time
 
     tr = cfg.tracking
     prep_fn = _unjit(stages.make_prepare(cfg, use_pallas=None))
+    mask_prop_fn = _unjit(stages.make_mask_prop(cfg))
     inherit_fn = _unjit(stages.make_inherit(cfg))
     camera_fn = _unjit(stages.make_camera_stage(cfg))
     sflow_fn = _unjit(stages.make_scene_flow(cfg))
@@ -273,6 +309,7 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
         _unjit(f) for f in stages.make_renew_stage(cfg)
     ]
     classify_fn = stages.make_device_classifier(cfg)
+    L_tab = cfg.shapes.max_sem_labels
 
     def _chk(*outs):
         tot = jnp.float32(0)
@@ -281,7 +318,10 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
                 tot = tot + jnp.sum(leaf.astype(jnp.float32))
         return tot
 
-    def _prefix(state, inputs, key, z, n_spans: int):
+    def _prefix(state, pinputs, key, z, n_spans: int):
+        from ..io.packing import depth_wire_scale, unpack_frame
+        from ..pipeline.fused import _pack_outputs
+
         last: FrameState = state["frame"]
         k1, k2, k3, k4 = jax.random.split(key, 4)
 
@@ -289,25 +329,43 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
             if n_spans == 0:
                 return chk * jnp.float32(0.5) + z, None
             # z == 0.0 at run time: inputs are unperturbed, but every
-            # iteration depends on the previous one's full output set
-            eps = z * chk
-            rgb = inputs["rgb"] + eps
-            depth_raw = inputs["depth_raw"] + eps
-            flow = inputs["flow"] + eps
-            seg = inputs["seg"]
+            # iteration depends on the previous one's full output set —
+            # perturbing the PACKED buffer serializes the unpack too
+            packed = pinputs["packed"] + (z * chk).astype(
+                pinputs["packed"].dtype)
+            rgb, depth_raw, flow, seg_raw = unpack_frame(
+                packed, depth_scale=depth_wire_scale(tr.depth_map_factor),
+                flow_down=tr.flow_down, flow_delta=tr.flow_delta,
+                hw=(cfg.camera.height, cfg.camera.width))
+            chk = _chk(rgb, depth_raw, flow, seg_raw)
+            if n_spans == 1:
+                return chk, None
+            if tr.fused_mask_prop:
+                ok = last.dynamic.valid & (last.dynamic.sem_label > 0)
+                lab = jnp.clip(last.dynamic.sem_label, 0, 255)
+                counts = jax.ops.segment_sum(
+                    jnp.where(ok, 1.0, 0.0), jnp.where(ok, lab, 0),
+                    num_segments=256).at[0].set(0.0)
+                t_idx, tv = select.masked_top_k(counts, counts > 0, L_tab)
+                seg, _ = mask_prop_fn(seg_raw, last.seg, last.flow_map,
+                                      last.dynamic,
+                                      jnp.where(tv, t_idx, 0).astype(
+                                          jnp.int32))
+            else:
+                seg = seg_raw
             prep = prep_fn(rgb, depth_raw, flow, seg, k1)
             depth = prep["depth"]
             stat_cur, dyn_cur = inherit_fn(last.static, last.dynamic,
                                            depth, seg)
-            chk = _chk(prep, stat_cur, dyn_cur)
-            if n_spans == 1:
+            chk = chk + _chk(prep, stat_cur, dyn_cur, seg)
+            if n_spans == 2:
                 return chk, None
             cam_out = camera_fn(last.static, stat_cur["xy"],
                                 stat_cur["depth"], last.T_cw, last.velocity,
-                                inputs["T_cw_gt"], last.T_cw_gt, k2)
+                                pinputs["T_cw_gt"], last.T_cw_gt, k2)
             T_cw = cam_out["T_cw"]
             chk = chk + _chk(cam_out)
-            if n_spans == 2:
+            if n_spans == 3:
                 return chk, None
             sf = sflow_fn(last.dynamic, dyn_cur["xy"], dyn_cur["depth"],
                           dyn_cur["sem_label"], last.T_cw, T_cw)
@@ -318,7 +376,7 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
                               state["slot_model"], state["slot_H"],
                               state["slot_active"], state["max_id"])
             chk = chk + _chk(sf, cls)
-            if n_spans == 3:
+            if n_spans == 4:
                 return chk, None
             obj_out = objects_fn(last.dynamic, dyn_cur["xy"],
                                  dyn_cur["depth"], dyn_cur["sem_label"],
@@ -326,10 +384,14 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
                                  cls["slot_has_mm"], cls["slot_H_prev"],
                                  cls["member_ok"], last.T_cw, T_cw, k3)
             chk = chk + _chk(obj_out)
-            if n_spans == 4:
+            if n_spans == 5:
                 return chk, None
             ok_slot = cls["slot_active"] & (
                 obj_out["n_init"] >= tr.min_init_inliers)
+            gt_sems = pinputs.get("gt_sems")
+            if gt_sems is not None:
+                ok_slot = ok_slot & jnp.any(
+                    cls["slot_sem"][:, None] == gt_sems[None, :], axis=1)
             stat_new = renew_s_fn(cam_out["uv_cur"], cam_out["inlier"],
                                   prep["det_xy"], prep["det_valid"],
                                   prep["det_score"], depth, flow, seg, T_cw)
@@ -340,14 +402,38 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
                                  cls["slot_sem"], cls["slot_model"],
                                  ok_slot, depth, flow, seg, T_cw, k4)
             chk = chk + _chk(stat_new, dyn_new)
-            return chk, None
+            if n_spans == 6:
+                return chk, None
+            # output_pack: the production step's single flat output vector
+            new_state = {
+                "frame": FrameState(
+                    static=stat_new, dynamic=dyn_new, T_cw=T_cw,
+                    T_cw_gt=pinputs["T_cw_gt"],
+                    velocity=cam_out["velocity"], seg=seg, flow_map=flow,
+                    depth_map=depth,
+                ),
+            }
+            metrics = {
+                "slot_sem": cls["slot_sem"], "slot_model": cls["slot_model"],
+                "slot_active": ok_slot, "slot_H": obj_out["H"],
+                "slot_centroid": obj_out["centroid"],
+                "slot_n_init": obj_out["n_init"],
+                "slot_n_inlier": obj_out["n_inlier"],
+                "speeds": jnp.where(ok_slot, obj_out["speed"], 0.0),
+                "t_rpe": cam_out["t_rpe"], "r_rpe": cam_out["r_rpe"],
+                "n_inlier": cam_out["n_inlier"],
+                "n_objects": jnp.sum(ok_slot.astype(jnp.int32)),
+                "used_motion_model": cam_out["used_motion_model"],
+            }
+            vec = _pack_outputs(new_state, metrics)
+            return chk + jnp.sum(vec), None
 
         chk, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_iters,
                               unroll=n_iters)
         return chk
 
     progs = [
-        jax.jit(functools.partial(_prefix, n_spans=k)) for k in range(6)
+        jax.jit(functools.partial(_prefix, n_spans=k)) for k in range(8)
     ]
 
     # prefix 6: the REAL production packed frame body (wire unpack + all
@@ -372,8 +458,10 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
 
     frame_prog = jax.jit(_frame_prefix)
 
-    def probe(state, inputs, key, reps: int = 3, packed_inputs=None):
+    def probe(state, packed_inputs, key, reps: int = 3):
         z = jnp.float32(0)
+        pin = {k: v for k, v in packed_inputs.items()
+               if not k.startswith("_")}
 
         def run(call):
             # block_until_ready does not reliably sync on the axon tunnel;
@@ -390,17 +478,15 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
                 best = min(best, _time.perf_counter() - t0)
             return best * 1e3
 
-        T = [timed(functools.partial(prog, state, inputs, key, z))
+        T = [timed(functools.partial(prog, state, pin, key, z))
              for prog in progs]
+        # SIGNED deltas: negatives mean the longer prefix scheduled better
         times = {
-            name: max(T[k + 1] - T[k], 0.0) / n_iters
-            for k, name in enumerate(STAGE_SPANS)
+            name: (T[k + 1] - T[k]) / n_iters
+            for k, name in enumerate(PROBE_SPANS)
         }
-        if packed_inputs is not None:
-            pin = {k: v for k, v in packed_inputs.items()
-                   if not k.startswith("_")}
-            tf = timed(functools.partial(frame_prog, state, pin, key))
-            times["_frame_ms"] = max(tf - T[0], 0.0) / n_iters
+        tf = timed(functools.partial(frame_prog, state, pin, key))
+        times["_frame_ms"] = max(tf - T[0], 0.0) / n_iters
         return times, T[0]
 
     return probe

@@ -263,10 +263,9 @@ class FusedTracker:
         frame, past and future.  `rounds` = timed repetitions per prefix
         (min wins; each prefix is compiled + warmed first).  Returns
         {stage: ms} plus the dispatch baseline under key "_rtt_ms".
-        `n_iters` trades compile time (6 programs, each ~n_iters unrolled
+        `n_iters` trades compile time (8 programs, each ~n_iters unrolled
         bodies) against timing resolution (span deltas are n_iters x the
         per-frame stage time)."""
-        from ..io.packing import depth_wire_scale, unpack_frame
         from ..parallel.multistream import STAGE_SPANS, make_scan_probe
 
         # device_inputs advances the staging-order GT state; the probe runs
@@ -274,20 +273,14 @@ class FusedTracker:
         saved_sems = self._stage_last_sems
         staged = self.device_inputs(fd)
         self._stage_last_sems = saved_sems
-        gray, depth_raw, flow, seg = unpack_frame(
-            staged["packed"],
-            depth_scale=depth_wire_scale(self.cfg.tracking.depth_map_factor),
-            flow_down=self.cfg.tracking.flow_down,
-            flow_delta=self.cfg.tracking.flow_delta,
-            hw=(self.cfg.camera.height, self.cfg.camera.width))
-        inputs = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
-                  "seg": seg, "T_cw_gt": staged["T_cw_gt"]}
         probe = make_scan_probe(self.cfg, n_iters=n_iters)
         key = jnp.asarray(self._keys[self.frame_id % self.MAX_FRAMES])
-        times, rtt = probe(self.state, inputs, key, reps=max(rounds, 1),
-                           packed_inputs=staged)
-        self._stage_ms = np.asarray([times[k] for k in STAGE_SPANS],
-                                    np.float32)
+        times, rtt = probe(self.state, staged, key, reps=max(rounds, 1))
+        # archive the reference's 5 spans (clamped only for the ARCHIVE —
+        # negative probe deltas are measurement noise, not real time; the
+        # returned dict keeps them signed)
+        self._stage_ms = np.asarray(
+            [max(times[k], 0.0) for k in STAGE_SPANS], np.float32)
         self._probe_rtt_ms = rtt
         # backfill frames archived before calibration (they carried zeros)
         for i in range(len(self.map.timings)):
@@ -352,7 +345,8 @@ class FusedTracker:
                     f"  tracks_dropped={health['n_tracks_dropped']}"
                     f"  {ms:.0f}ms (build "
                     f"{health.get('t_build_ms', 0):.0f} dispatch "
-                    f"{health.get('t_dispatch_ms', 0):.0f} fetch "
+                    f"{health.get('t_dispatch_ms', 0):.0f} exec "
+                    f"{health.get('t_exec_ms', 0):.0f} fetch "
                     f"{health.get('t_fetch_ms', 0):.0f})",
                     file=sys.stderr)
         except Exception:

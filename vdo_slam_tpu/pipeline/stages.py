@@ -200,6 +200,10 @@ def make_camera_stage(cfg: VDOConfig):
             T_r, mask_r, n_r, T_mm, X_w, cur_xy, valid, K,
             thres=s.ransac_reproj_thres,
         )
+        if s.refit_init:
+            # all-inlier rigid polish of the winning init (LM starts in its
+            # quadratic basin -> fewer flow-LM iterations at equal accuracy)
+            T0 = ransac.refine_with_inliers(T0, X_w, X_tgt, init_inlier)
         if cfg.tracking.joint_flow:
             out = flow_lm.solve(
                 T0, stat_last.xy, stat_last.depth, stat_last.flow, T_cw_last,
@@ -320,6 +324,8 @@ def make_objects_stage(cfg: VDOConfig):
             use_mm = has_mm & (n_mm >= n_r)
             G0 = jnp.where(use_mm, G_mm, T_r)
             init_in = jnp.where(use_mm, mask_mm, mask_r)
+            if s.refit_init:
+                G0 = ransac.refine_with_inliers(G0, Xw, Xt, init_in)
             return G0, init_in, jnp.where(use_mm, n_mm, n_r)
 
         G0, init_in_s, n_init = jax.vmap(per_slot)(
@@ -395,6 +401,8 @@ def make_objects_stage(cfg: VDOConfig):
             G0 = jnp.where(use_mm, G_mm, T_r)
             init_in = jnp.where(use_mm, mask_mm, mask_r)
             n_init = jnp.where(use_mm, n_mm, n_r)
+            if s.refit_init:
+                G0 = ransac.refine_with_inliers(G0, X_w, X_tgt, init_in)
             return G0, init_in, n_init
 
         G0, init_inlier, n_init = jax.vmap(per_slot)(

@@ -76,6 +76,67 @@ def kabsch(P: jax.Array, Q: jax.Array, w: jax.Array) -> jax.Array:
     return se3.from_Rt(R, t)
 
 
+def _inv3(A: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate / det) — arithmetic only, so it
+    vmaps and fuses on TPU where lax LU dispatch would not."""
+    c0 = jnp.cross(A[..., 1, :], A[..., 2, :])
+    c1 = jnp.cross(A[..., 2, :], A[..., 0, :])
+    c2 = jnp.cross(A[..., 0, :], A[..., 1, :])
+    det = jnp.einsum("...i,...i->...", A[..., 0, :], c0)
+    adjT = jnp.stack([c0, c1, c2], axis=-1)  # = adj(A)^T rows -> columns
+    return adjT / det[..., None, None]
+
+
+def _polar3(M: jax.Array, n_iters: int = 8) -> jax.Array:
+    """Orthogonal polar factor of a 3x3 matrix via scaled Newton iteration
+    X <- (g X + X^-T / g) / 2 (Higham scaling g = (||X^-1||/||X||)^(1/2)).
+
+    Arithmetic only — replaces the 3x3 SVD in the Kabsch solve, which on TPU
+    lowers to a slow iterative one-sided Jacobi (CLAUDE.md: avoid small
+    SVD/eigensolves).  Converges quadratically; 8 iterations reach fp32
+    round-off from any well-conditioned start.  For det(M) > 0 (the rigid
+    inlier-refit regime) the limit is the nearest rotation."""
+    X = M / jnp.maximum(jnp.linalg.norm(M, axis=(-2, -1), keepdims=True),
+                        1e-12)
+
+    def body(X, _):
+        Xinv_t = jnp.swapaxes(_inv3(X), -1, -2)
+        g = jnp.sqrt(jnp.sqrt(
+            (jnp.sum(Xinv_t * Xinv_t, axis=(-2, -1), keepdims=True) + 1e-20)
+            / (jnp.sum(X * X, axis=(-2, -1), keepdims=True) + 1e-20)))
+        X = 0.5 * (g * X + Xinv_t / g)
+        return X, None
+
+    X, _ = jax.lax.scan(body, X, None, length=n_iters, unroll=n_iters)
+    return X
+
+
+def kabsch_polar(P: jax.Array, Q: jax.Array, w: jax.Array,
+                 T_fallback: jax.Array) -> jax.Array:
+    """SVD-free weighted rigid alignment (Q ~= R P + t) via the polar
+    decomposition R = polar(M), M = sum w Qc Pc^T.
+
+    Identical to `kabsch` when det(M) > 0 (always, for a consistent inlier
+    set); returns T_fallback when the correspondence set is degenerate
+    (fewer than 3 inliers, det <= 0, or near-singular M), so it is safe as
+    an unconditional LM-init polish."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = w / wsum
+    p_bar = jnp.einsum("...n,...ni->...i", wn, P)
+    q_bar = jnp.einsum("...n,...ni->...i", wn, Q)
+    Pc = P - p_bar[..., None, :]
+    Qc = Q - q_bar[..., None, :]
+    M = jnp.einsum("...n,...ni,...nj->...ij", wn, Qc, Pc)
+    det = jnp.linalg.det(M)
+    scale2 = jnp.sum(M * M, axis=(-2, -1))
+    ok = ((jnp.sum(w > 0, axis=-1) >= 3)
+          & (det > 1e-9 * scale2 * jnp.sqrt(jnp.maximum(scale2, 1e-30))))
+    R = _polar3(M)
+    t = q_bar - jnp.einsum("...ij,...j->...i", R, p_bar)
+    T = se3.from_Rt(R, t)
+    return jnp.where(ok[..., None, None], T, T_fallback)
+
+
 def reprojection_inliers(T: jax.Array, X_src: jax.Array, uv_obs: jax.Array,
                          valid: jax.Array, K: jax.Array, thres: float):
     """Inlier mask under candidate T: ||uv_obs - pi(T X_src)|| < thres
@@ -118,8 +179,13 @@ def ransac_rigid(X_src: jax.Array, X_tgt: jax.Array, uv_obs: jax.Array,
 
 def refine_with_inliers(T: jax.Array, X_src: jax.Array, X_tgt: jax.Array,
                         inlier: jax.Array) -> jax.Array:
-    """One all-inlier weighted Kabsch re-fit (cheap polish of the winner)."""
-    return kabsch(X_src, X_tgt, inlier.astype(jnp.float32))
+    """All-inlier weighted rigid re-fit of the RANSAC/motion-model winner —
+    the LM-init polish (a 3-point hypothesis or a propagated motion model is
+    exact only up to noise on its 3 points; the all-inlier fit is the ML
+    rigid estimate under isotropic 3D noise, so the downstream flow-LM
+    starts inside its quadratic basin and converges in fewer iterations).
+    Falls back to T on degenerate inlier sets."""
+    return kabsch_polar(X_src, X_tgt, inlier.astype(jnp.float32), T)
 
 
 def choose_init(T_ransac, mask_ransac, n_ransac, T_model, X_src, uv_obs,
