@@ -83,7 +83,8 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
 
     ds = InMemoryPackedDataset(raw_ds, depth_map_factor=256.0,
                                flow_down=cfg.tracking.flow_down,
-                               flow_delta=cfg.tracking.flow_delta)
+                               flow_delta=cfg.tracking.flow_delta,
+                               depth_down=cfg.tracking.depth_down)
 
     # each stream starts at a different offset of the sequence
     class _View:
@@ -165,6 +166,8 @@ def _env_overrides(cfg):
     env = os.environ
     if "VDO_BENCH_FLOW_DOWN" in env:
         tr["wire_flow_down"] = int(env["VDO_BENCH_FLOW_DOWN"])
+    if "VDO_BENCH_DEPTH_DOWN" in env:
+        tr["wire_depth_down"] = int(env["VDO_BENCH_DEPTH_DOWN"])
     if "VDO_BENCH_DRAIN" in env:
         tr["fused_drain_chunks"] = int(env["VDO_BENCH_DRAIN"])
     if "VDO_BENCH_MASK_PROP" in env:
@@ -276,7 +279,8 @@ def main(hard: bool = False):
 
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
                                 flow_down=cfg.tracking.flow_down,
-                                flow_delta=cfg.tracking.flow_delta)
+                                flow_delta=cfg.tracking.flow_delta,
+                                depth_down=cfg.tracking.depth_down)
     log(f"pre-packed {len(pds)} frames in {time.perf_counter() - t0:.1f}s "
         f"({pds[0].packed.nbytes / 1e6:.2f} MB/frame wire)")
 

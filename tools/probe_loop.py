@@ -66,7 +66,8 @@ def main(n_frames: int = 48):
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
                                 flow_down=cfg.tracking.flow_down,
-                                flow_delta=cfg.tracking.flow_delta)
+                                flow_delta=cfg.tracking.flow_delta,
+                                depth_down=cfg.tracking.depth_down)
     log(f"wire: {pds[0].packed.nbytes / 1e6:.2f} MB/frame")
 
     sysm = System(cfg, enable_local_ba=False, mode="fused")

@@ -123,6 +123,15 @@ class TrackingConfig:
     # on the bench scene at flow_down=2).  Off by default only to keep the
     # exact-parity wire default; tpu_fast() opts in.
     wire_flow_delta: bool = False
+    # depth wire downsample factor (1 or 2).  2 ships every-2nd-pixel u16
+    # depth and reconstructs the dense map on device by seg-aware bilinear
+    # interpolation in INVERSE depth (1/z is affine in pixel on a 3D plane,
+    # so planar interiors reconstruct exactly; zero/invalid samples carry
+    # no weight — io/packing.py).  Cuts the raw wire ~0.7 MB/frame at KITTI
+    # size; upload time is proportional to RAW bytes (the tunnel compresses
+    # on the single host core).  Requires wire_flow_down>1.  Off by default
+    # (exact-parity wire).
+    wire_depth_down: int = 1
 
     def __post_init__(self):
         # fail at config time, not deep inside pack/trace (io/packing.py
@@ -132,6 +141,12 @@ class TrackingConfig:
             raise ValueError(
                 f"wire_flow_down must be one of 0 (derive from "
                 f"wire_flow_half), 1, 2, 4 — got {self.wire_flow_down}")
+        if self.wire_depth_down not in (1, 2):
+            raise ValueError(f"wire_depth_down must be 1 or 2 — got "
+                             f"{self.wire_depth_down}")
+        if self.wire_depth_down > 1 and self.flow_down == 1:
+            raise ValueError("wire_depth_down=2 requires a flow-downsampled "
+                             "wire (wire_flow_half or wire_flow_down>1)")
 
     @property
     def flow_down(self) -> int:
@@ -140,6 +155,10 @@ class TrackingConfig:
     @property
     def flow_delta(self) -> bool:
         return self.wire_flow_delta
+
+    @property
+    def depth_down(self) -> int:
+        return self.wire_depth_down
     # chunks per output drain: every device->host fetch costs ~1 tunnel
     # round-trip ON THE CRITICAL PATH even from a background thread (the
     # client serializes requests; measured: the 30 ms/frame never-sync
@@ -218,14 +237,19 @@ class BackendConfig:
     full_sigma2_3d_dyn: float = 80.0
     full_sigma2_alti: float = 0.1
     full_gain_thres: float = 1e-4
-    full_iters: int = 6                # g2o uses up to 300 w/ early stop;
+    full_iters: int = 3                # g2o uses up to 300 w/ early stop;
                                        # measured on the 114k-point bench
                                        # archive: cam_t/cam_r/obj_t RPE are
                                        # bit-equal from 3 iters on, obj_r
-                                       # 2.18e-3 @3 / 2.01e-3 @6 / 1.93e-3
-                                       # @9 (initial 6.99e-3) — 6 keeps the
-                                       # accuracy and cuts the solve 3.8 ->
-                                       # 2.6 s.  Keep it a MULTIPLE of
+                                       # 2.17e-3 @3 / 1.99e-3 @6 / 1.93e-3
+                                       # @9 (initial 6.97e-3, reference
+                                       # 2.05e-2) — round-5 A/B: 3 iters
+                                       # cuts the solve 2.6 -> 1.35 s
+                                       # (e2e 16.2 -> 23.3 fps) at a <1e-4
+                                       # deg absolute obj-rotation cost;
+                                       # window warm-starts make the first
+                                       # LM steps the productive ones.
+                                       # Keep it a MULTIPLE of
                                        # full_ba.FULL_BA_CHUNK: a remainder
                                        # tail chunk compiles a fresh program
                                        # mid-solve (~55 s measured).
@@ -333,10 +357,15 @@ def tpu_fast(cfg: VDOConfig) -> VDOConfig:
     (cam_r 0.045 -> 0.027 deg, obj_r 1.007 -> 0.957 deg, 118 vs 99 object
     estimates) — the seg-aware bilinear reconstruction smooths flow noise.
 
-    local_iters (window BA) 12 -> 6: the background window solve shares the
-    chip with tracking chunks; at 6 LM iterations the converged cost is
-    identical to 12 (4.302e-1 vs 4.301e-1 on the bench window) and the
-    device solve drops 187 -> 120 ms, returning that time to tracking.
+    local_iters (window BA) 12 -> 6 -> 4: the background window solve
+    shares the chip with tracking chunks (6 solves x ~105 ms device exec =
+    ~22% of the bench tracking wall).  At 6 LM iterations the converged
+    cost is identical to 12 (4.302e-1 vs 4.301e-1 on the bench window);
+    at 4 the window cost settles marginally higher (5.6e-2 vs 4.9e-2 on
+    the last bench window) but REFINED sequence accuracy is unchanged on
+    every axis (round-5 A/B: cam_t 2.680e-4 both, cam_r 2.26e-4 both,
+    obj_t/obj_r identical) while window exec drops 105 -> 79 ms —
+    tracking measured 36.7 fps vs ~33-34 at local_iters=6.
 
     wire_flow_delta: lossless row-delta entropy coding of the fp16 flow
     planes (io/packing.py) — bit-identical reconstruction on device, ~2.1x
@@ -347,7 +376,7 @@ def tpu_fast(cfg: VDOConfig) -> VDOConfig:
         solver=dataclasses.replace(cfg.solver, lm_iters_obj=12),
         tracking=dataclasses.replace(cfg.tracking, wire_flow_half=True,
                                      wire_flow_delta=True),
-        backend=dataclasses.replace(cfg.backend, local_iters=6),
+        backend=dataclasses.replace(cfg.backend, local_iters=4),
     )
 
 

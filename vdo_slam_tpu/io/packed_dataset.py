@@ -47,6 +47,8 @@ _VERSION_DOWN4 = 2    # flow_down == 4 (different wire layout; see docstring)
 _VERSION_DELTA = 3    # flow planes row-delta coded (packing._row_delta_u16):
 #                       same wire length, different encoding — a pre-delta
 #                       reader would decode garbage flow, hence the bump
+_VERSION_DDOWN = 4    # depth plane downsampled 2x (packing depth_down=2):
+#                       shorter wire, different offsets — bump again
 
 
 @dataclasses.dataclass
@@ -68,7 +70,8 @@ class PackedFrameData:
 def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
                  flow_half: bool = True, n: int | None = None,
                  flow_down: int | None = None,
-                 flow_delta: bool = False) -> Path:
+                 flow_delta: bool = False,
+                 depth_down: int = 1) -> Path:
     """Pack any FrameData-yielding dataset into a PackedDataset directory."""
     from .packing import _norm_flow_down
 
@@ -82,7 +85,7 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
     H, W = fd0.rgb.shape
     w0 = pack_frame(fd0.rgb, fd0.depth_raw, fd0.flow, fd0.mask,
                     depth_scale=dscale, flow_down=down,
-                    flow_delta=flow_delta).ravel()
+                    flow_delta=flow_delta, depth_down=depth_down).ravel()
     wire_len = int(w0.size)
 
     buf = np.memmap(out / "frames.i16", dtype=np.int16, mode="w+",
@@ -94,7 +97,8 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
         fd = dataset[i] if i else fd0
         w = (w0 if i == 0 else pack_frame(
             fd.rgb, fd.depth_raw, fd.flow, fd.mask, depth_scale=dscale,
-            flow_down=down, flow_delta=flow_delta).ravel())
+            flow_down=down, flow_delta=flow_delta,
+            depth_down=depth_down).ravel())
         buf[i] = w
         poses[i] = np.asarray(fd.pose_gt_raw, np.float32)
         times[i] = float(fd.timestamp)
@@ -109,12 +113,14 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
             np.zeros((0, 10), np.float32))
     np.save(out / "obj_offsets.npy", np.asarray(offs, np.int64))
     (out / "meta.json").write_text(json.dumps({
-        "version": (_VERSION_DELTA if flow_delta else
+        "version": (_VERSION_DDOWN if depth_down > 1 else
+                    _VERSION_DELTA if flow_delta else
                     _VERSION_DOWN4 if down == 4 else _VERSION),
         "n": n, "H": int(H), "W": int(W),
         "wire_len": wire_len, "depth_scale": float(dscale),
         "flow_half": down == 2, "flow_down": down,
         "flow_delta": bool(flow_delta),
+        "depth_down": int(depth_down),
         "depth_map_factor": float(depth_map_factor),
     }))
     return out
@@ -132,7 +138,7 @@ class PackedDataset:
         self.dir = Path(path)
         self.meta = json.loads((self.dir / "meta.json").read_text())
         if self.meta.get("version") not in (_VERSION, _VERSION_DOWN4,
-                                            _VERSION_DELTA):
+                                            _VERSION_DELTA, _VERSION_DDOWN):
             raise ValueError(f"packed dataset version mismatch: {self.meta}")
         n, L = self.meta["n"], self.meta["wire_len"]
         self.frames = np.memmap(self.dir / "frames.i16", dtype=np.int16,
@@ -164,6 +170,11 @@ class PackedDataset:
             raise ValueError(
                 f"packed flow_delta={packed_delta} != config "
                 f"flow_delta={tr.flow_delta}")
+        packed_dd = int(self.meta.get("depth_down", 1))
+        if tr.depth_down != packed_dd:
+            raise ValueError(
+                f"packed depth_down={packed_dd} != config "
+                f"depth_down={tr.depth_down}")
         if (cfg.camera.height, cfg.camera.width) != (self.meta["H"],
                                                      self.meta["W"]):
             raise ValueError("packed H/W mismatch with config camera")
@@ -185,7 +196,8 @@ class InMemoryPackedDataset:
     def __init__(self, dataset, depth_map_factor: float,
                  flow_half: bool = True, n: int | None = None,
                  flow_down: int | None = None,
-                 flow_delta: bool = False):
+                 flow_delta: bool = False,
+                 depth_down: int = 1):
         n = len(dataset) if n is None else min(n, len(dataset))
         dscale = depth_wire_scale(depth_map_factor)
         self._items = []
@@ -195,7 +207,8 @@ class InMemoryPackedDataset:
                 packed=pack_frame(fd.rgb, fd.depth_raw, fd.flow, fd.mask,
                                   depth_scale=dscale, flow_half=flow_half,
                                   flow_down=flow_down,
-                                  flow_delta=flow_delta),
+                                  flow_delta=flow_delta,
+                                  depth_down=depth_down),
                 pose_gt_raw=np.asarray(fd.pose_gt_raw, np.float32),
                 obj_gt_rows=np.asarray(fd.obj_gt_rows,
                                        np.float32).reshape(-1, 10),

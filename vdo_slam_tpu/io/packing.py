@@ -72,11 +72,24 @@ def _norm_flow_down(flow_half: bool, flow_down: int | None) -> int:
     return d
 
 
+def _norm_depth_down(depth_down: int | None, flow_d: int) -> int:
+    """Validate the depth wire downsample factor.  Only 1 (full res) and 2
+    are supported, and 2 requires the flat flow_down>1 wire layout (the
+    (4,H,W) exact-parity layout has no room for a short depth plane)."""
+    d = int(depth_down) if depth_down else 1
+    if d not in (1, 2):
+        raise ValueError(f"depth_down must be 1 or 2, got {d}")
+    if d > 1 and flow_d == 1:
+        raise ValueError("depth_down=2 requires flow_down>1 (flat wire)")
+    return d
+
+
 def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
                seg: np.ndarray, depth_scale: float = 1.0,
                flow_half: bool = False,
                flow_down: int | None = None,
-               flow_delta: bool = False) -> np.ndarray:
+               flow_delta: bool = False,
+               depth_down: int = 1) -> np.ndarray:
     """Host-side pack: (H,W) gray [0,1], (H,W) raw depth samples,
     (H,W,2) float flow, (H,W) int labels -> (4,H,W) int16.
 
@@ -99,13 +112,25 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
 
     flow_delta: store the flow planes as LOSSLESS row-wise bit-pattern
     deltas (_row_delta_u16) — the samples the device reconstructs are
-    bit-identical, but the tunnel's compressor ships ~2x fewer bytes."""
+    bit-identical, but the tunnel's compressor ships ~2x fewer bytes.
+
+    depth_down: carry depth DOWNSAMPLED by 2 (every 2nd pixel) and
+    reconstruct the dense map on device by seg-aware bilinear interpolation
+    in INVERSE depth (1/z is affine in pixel coordinates on any 3D plane,
+    so interiors of planar surfaces reconstruct exactly; boundaries mix
+    only same-label samples, invalid (zero) samples carry no weight).
+    Cuts the raw wire another ~0.7 MB/frame at KITTI size — the upload to
+    a remote-attached device costs time proportional to RAW bytes (the
+    tunnel compresses on the single host core).  Requires flow_down>1."""
     d = _norm_flow_down(flow_half, flow_down)
+    dd = _norm_depth_down(depth_down, d)
     g8 = np.clip(np.rint(gray * 255.0), 0, 255).astype(np.uint16)
     s8 = np.clip(seg, 0, 255).astype(np.uint16)
     ch0 = (g8 | (s8 << 8)).astype(np.int16)
     ch1 = np.clip(np.rint(depth_raw * depth_scale), 0,
                   65535).astype(np.uint16).view(np.int16)
+    if dd > 1:
+        ch1 = np.ascontiguousarray(ch1[0::dd, 0::dd])
 
     def enc(plane_f16_i16: np.ndarray) -> np.ndarray:  # (h, w) int16
         if not flow_delta:
@@ -122,9 +147,9 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
     return np.stack([ch0, ch1, enc(f[..., 0]), enc(f[..., 1])])
 
 
-def _upsample2x_seg(f, seg):
-    """Seg-aware bilinear 2x upsample of (h, w, 2) flow -> (2h, 2w, 2) with
-    out[2i, 2j] = f[i, j] (matching the host's even-pixel downsample).
+def _upsample2x_seg(f, seg, valid=None):
+    """Seg-aware bilinear 2x upsample of (h, w, C) samples -> (2h, 2w, C)
+    with out[2i, 2j] = f[i, j] (matching the host's even-pixel downsample).
 
     Plain bilinear interpolates ACROSS motion boundaries, contaminating
     object flow with background flow (measured: 10x object-rotation RPE on
@@ -133,7 +158,12 @@ def _upsample2x_seg(f, seg):
     weights; plain bilinear as fallback where no neighbor matches).  Rigid
     motion induces an affine-in-pixel flow field, which bilinear
     reconstructs exactly in the interior — the boundary was the only error
-    source.  Pure elementwise + pad/reshape; XLA fuses it into consumers."""
+    source.  Pure elementwise + pad/reshape; XLA fuses it into consumers.
+
+    valid: optional (h, w) bool mask of usable coarse samples (the depth
+    wire's zero = invalid convention).  Invalid samples carry no weight in
+    either the seg-matched mix or the fallback; a pixel with NO valid
+    contributor at all comes out 0 (stays invalid downstream)."""
     import jax.numpy as jnp
 
     h, w, _ = f.shape
@@ -154,6 +184,11 @@ def _upsample2x_seg(f, seg):
     f10, f11 = pad_d(f), pad_r(pad_d(f))
     s00, s01 = sh, pad_r(sh)
     s10, s11 = pad_d(sh), pad_r(pad_d(sh))
+    if valid is not None:
+        vf = valid.astype(f.dtype)
+        v4 = (vf, pad_r(vf), pad_d(vf), pad_r(pad_d(vf)))
+    else:
+        v4 = (None, None, None, None)
 
     # output phases: (dy, dx) in the 2x2 cell -> bilinear corner weights.
     # The four phase grids are interleaved by a stack+transpose+reshape
@@ -161,33 +196,48 @@ def _upsample2x_seg(f, seg):
     # scatters, which TPU lowers as real scatter kernels.
     phases = {(0, 0): (1.0, 0.0, 0.0, 0.0), (0, 1): (.5, .5, 0.0, 0.0),
               (1, 0): (.5, 0.0, .5, 0.0), (1, 1): (.25, .25, .25, .25)}
+    C = f.shape[-1]
     vals = []
     for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
         w00, w01, w10, w11 = phases[(dy, dx)]
         lab = seg2[dy::2, dx::2]                           # (h, w)
-        ws = []
         acc = 0.0
         macc = 0.0
-        for wgt, fv, sv in ((w00, f00, s00), (w01, f01, s01),
-                            (w10, f10, s10), (w11, f11, s11)):
+        pacc = 0.0
+        pmacc = 0.0
+        for wgt, fv, sv, vv in ((w00, f00, s00, v4[0]),
+                                (w01, f01, s01, v4[1]),
+                                (w10, f10, s10, v4[2]),
+                                (w11, f11, s11, v4[3])):
             if wgt == 0.0:
                 continue
             m = (sv == lab).astype(f.dtype)[..., None] * wgt
+            pw = wgt
+            if vv is not None:
+                m = m * vv[..., None]
+                pw = wgt * vv[..., None]
             acc = acc + fv * m
             macc = macc + m
-            ws.append((wgt, fv))
-        plain = sum(wgt * fv for wgt, fv in ws)
+            pacc = pacc + fv * pw
+            pmacc = pmacc + pw
+        if valid is None:
+            plain = pacc                      # exact bilinear (weights sum 1)
+        else:
+            # validity-weighted bilinear; all-invalid cells come out 0
+            plain = jnp.where(pmacc > 0, pacc / jnp.maximum(pmacc, 1e-6),
+                              jnp.zeros_like(pacc))
         vals.append(jnp.where(macc > 0, acc / jnp.maximum(macc, 1e-6),
                               plain))
-    # (2, 2, h, w, 2) -> out[2i+dy, 2j+dx] = vals[dy][dx][i, j]
-    grid = jnp.stack(vals).reshape(2, 2, h, w, 2)
-    return grid.transpose(2, 0, 3, 1, 4).reshape(2 * h, 2 * w, 2)
+    # (2, 2, h, w, C) -> out[2i+dy, 2j+dx] = vals[dy][dx][i, j]
+    grid = jnp.stack(vals).reshape(2, 2, h, w, C)
+    return grid.transpose(2, 0, 3, 1, 4).reshape(2 * h, 2 * w, C)
 
 
 def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
                  hw: tuple[int, int] | None = None,
                  flow_down: int | None = None,
-                 flow_delta: bool = False):
+                 flow_delta: bool = False,
+                 depth_down: int = 1):
     """Device-side unpack: (4,H,W) int16 — or the flat flow_down>1 layout,
     with hw=(H,W) — -> (gray f32, depth_raw f32, flow f32 (H,W,2), seg i32).
     Pure elementwise (+ the seg-aware flow upsample for flow_down>1, applied
@@ -199,6 +249,7 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
     import jax.numpy as jnp
 
     d = _norm_flow_down(flow_half, flow_down)
+    dd = _norm_depth_down(depth_down, d)
     if d > 1:
         H, W = hw
         Hd, Wd = (H + d - 1) // d, (W + d - 1) // d
@@ -207,8 +258,22 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
         c0 = u[:n].reshape(H, W)
         gray = (c0 & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
         seg = (c0 >> 8).astype(jnp.int32)
-        depth = u[n:2 * n].reshape(H, W).astype(jnp.float32) * (
-            1.0 / depth_scale)
+        if dd > 1:
+            Hdd, Wdd = (H + dd - 1) // dd, (W + dd - 1) // dd
+            nd = Hdd * Wdd
+            dc = u[n:n + nd].reshape(Hdd, Wdd).astype(jnp.float32) * (
+                1.0 / depth_scale)
+            # seg-aware bilinear in INVERSE depth (1/z is affine in pixel
+            # on a 3D plane -> planar interiors reconstruct exactly);
+            # zero samples are invalid and carry no weight
+            vmask = dc > 0
+            inv = jnp.where(vmask, 1.0 / jnp.maximum(dc, 1e-6), 0.0)
+            up = _upsample2x_seg(inv[..., None], seg, vmask)[:H, :W, 0]
+            depth = jnp.where(up > 1e-9, 1.0 / jnp.maximum(up, 1e-9), 0.0)
+        else:
+            nd = n
+            depth = u[n:2 * n].reshape(H, W).astype(jnp.float32) * (
+                1.0 / depth_scale)
 
         def dec(plane_u16):  # (Hd, Wd) uint16 -> f32 flow plane
             if flow_delta:
@@ -216,7 +281,7 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
             return jax.lax.bitcast_convert_type(
                 plane_u16, jnp.float16).astype(jnp.float32)
 
-        fu16 = u[2 * n:]
+        fu16 = u[n + nd:]
         f = jnp.stack([dec(fu16[:Hd * Wd].reshape(Hd, Wd)),
                        dec(fu16[Hd * Wd:].reshape(Hd, Wd))], axis=-1)
         # upsample 2x at a time; stage s consumes the seg labels subsampled

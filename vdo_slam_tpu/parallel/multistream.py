@@ -227,6 +227,7 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
                 depth_scale=depth_wire_scale(tr.depth_map_factor),
                 flow_down=tr.flow_down,
                 flow_delta=tr.flow_delta,
+                depth_down=tr.depth_down,
                 hw=(cfg.camera.height, cfg.camera.width))
             unpacked = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                         "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}
@@ -336,6 +337,7 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
             rgb, depth_raw, flow, seg_raw = unpack_frame(
                 packed, depth_scale=depth_wire_scale(tr.depth_map_factor),
                 flow_down=tr.flow_down, flow_delta=tr.flow_delta,
+                depth_down=tr.depth_down,
                 hw=(cfg.camera.height, cfg.camera.width))
             chk = _chk(rgb, depth_raw, flow, seg_raw)
             if n_spans == 1:

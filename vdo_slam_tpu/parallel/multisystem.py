@@ -117,7 +117,8 @@ class MultiStreamSystem:
                               np.asarray(fd.flow, np.float32),
                               np.asarray(fd.mask), depth_scale=scale,
                               flow_down=self.cfg.tracking.flow_down,
-                              flow_delta=self.cfg.tracking.flow_delta)
+                              flow_delta=self.cfg.tracking.flow_delta,
+                              depth_down=self.cfg.tracking.depth_down)
 
         packed = np.stack([_wire(fd) for fd in fds])
         gts = [t._gt_pose(fd.pose_gt_raw)

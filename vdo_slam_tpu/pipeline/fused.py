@@ -241,7 +241,8 @@ class FusedTracker:
                 depth_scale=depth_wire_scale(
                     self.cfg.tracking.depth_map_factor),
                 flow_down=self.cfg.tracking.flow_down,
-                flow_delta=self.cfg.tracking.flow_delta),
+                flow_delta=self.cfg.tracking.flow_delta,
+                depth_down=self.cfg.tracking.depth_down),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
             "gt_sems": self._stage_gt_sems(fd),
         })
@@ -477,7 +478,8 @@ class FusedTracker:
                 np.asarray(fd.flow, np.float32),
                 np.asarray(fd.mask), depth_scale=dscale,
                 flow_down=self.cfg.tracking.flow_down,
-                flow_delta=self.cfg.tracking.flow_delta))
+                flow_delta=self.cfg.tracking.flow_delta,
+                depth_down=self.cfg.tracking.depth_down))
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),
