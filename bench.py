@@ -33,7 +33,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_multistream(n_streams: int, n_frames: int = 40):
+def bench_multistream(n_streams: int, n_frames: int = 40,
+                      tag: str = ""):
     """Aggregate-throughput mode (python bench.py --streams S): S COMPLETE
     end-to-end pipelines — per-stream MapState archive, windowed BA every 16
     frames, per-stream metric reports — with the per-frame device work of
@@ -77,6 +78,7 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
         shapes=ShapeConfig(),
     )
     cfg = tpu_fast(cfg)  # measured best-throughput point at matched accuracy
+    cfg = _env_overrides(cfg)
     raw_ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     # pre-packed ingest: O(1) host work per frame in the timed loop
     from vdo_slam_tpu.io.packed_dataset import InMemoryPackedDataset
@@ -145,7 +147,7 @@ def bench_multistream(n_streams: int, n_frames: int = 40):
     log(f"aggregate accuracy: {m['aggregate']}  "
         f"ba_failures: {[t.ba_failures for t in msys.trackers]}")
     print(json.dumps({
-        "metric": f"kitti_synth_multistream{n_streams}_aggregate_fps",
+        "metric": f"kitti_synth_multistream{n_streams}{tag}_aggregate_fps",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
@@ -416,7 +418,25 @@ def main(hard: bool = False):
 
 
 if __name__ == "__main__":
-    if "--streams" in sys.argv:
+    if "--throughput" in sys.argv:
+        # the measured max-aggregate-throughput point on one chip
+        # (round-5 sweep): 6 vmapped streams, half-res depth wire, and the
+        # refit-enabled reduced LM budgets.  At S>=5 the default config is
+        # CO-LIMITED by the ~110 MB/s tunnel upload (S x 2.33 MB/frame)
+        # and the ~23.5 ms/frame vmapped device step; the 1.63 MB/frame
+        # depth_down wire lifts the upload cap and obj/cam LM 6/10 (A/B'd
+        # at parity accuracy, config.py) lifts the device cap — measured
+        # 48.5 aggregate fps = 11.3x the reference's 4.3 fps tracking.
+        # Accuracy trade vs the default wire: cam_r ~4.9e-4 deg (vs
+        # 2.7e-4 default, 3.85e-2 reference) — still ~79x better than the
+        # reference; every other axis unchanged.
+        os.environ.setdefault("VDO_BENCH_DEPTH_DOWN", "2")
+        os.environ.setdefault("VDO_BENCH_OBJ_ITERS", "6")
+        os.environ.setdefault("VDO_BENCH_CAM_ITERS", "10")
+        s = (int(sys.argv[sys.argv.index("--streams") + 1])
+             if "--streams" in sys.argv else 6)
+        bench_multistream(s, tag="_throughput")
+    elif "--streams" in sys.argv:
         bench_multistream(int(sys.argv[sys.argv.index("--streams") + 1]))
     else:
         main(hard="--hard" in sys.argv)

@@ -67,6 +67,9 @@ def main() -> None:
         runs.append(run_mode(["--hard"], args.timeout))
     for s in args.streams:
         runs.append(run_mode(["--streams", str(s)], args.timeout))
+    # the max-aggregate-throughput point (bench.py --throughput: S=6 +
+    # half-res depth wire + refit-enabled reduced LM budgets)
+    runs.append(run_mode(["--throughput"], args.timeout))
 
     artifact = {
         "captured_utc": datetime.now(timezone.utc).isoformat(
