@@ -474,11 +474,14 @@ class TestWirePacking:
 
     def test_depth_half_wire(self):
         """wire_depth_down=2: every-2nd-pixel u16 depth, reconstructed on
-        device by seg-aware bilinear interpolation in INVERSE depth
-        (io/packing.py).  1/z is affine in pixel on a 3D plane, so planar
-        interiors reconstruct to quantization accuracy; boundary pixels
-        degrade to one pixel of inverse-depth slope (one-sided support);
-        zero (invalid) coarse samples carry no weight."""
+        device by seg-aware GRADIENT-VOTE interpolation in INVERSE depth
+        (io/packing.py, _upsample2x_seg(extrap=True)).  1/z is affine in
+        pixel on a 3D plane, so planar interiors reconstruct to quantization
+        accuracy — and with each corner voting its locally-fitted same-label
+        plane, one-sided BOUNDARY cells are first-order too (linear
+        extrapolation), not the 0-order nearest extension that doubled
+        camera-rotation RPE in the round-5 A/B.  Zero (invalid) coarse
+        samples carry no weight anywhere."""
         import jax.numpy as jnp
 
         from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
@@ -518,9 +521,12 @@ class TestWirePacking:
         interior[16:32, 24:44] = True
         err = np.abs(d2 - depth)[interior]
         assert err.max() < 0.02, err.max()
-        # boundary: bounded by ~1 px of inverse-depth slope amplified by
-        # d^2 (one-sided nearest extension) — d<=50 m, slope 2e-4 -> <=0.5
-        assert np.abs(d2 - depth)[depth > 0].max() < 0.6
+        # BOUNDARY pixels too: every cell here keeps at least one
+        # same-label corner, whose extrapolated plane vote is exact for a
+        # planar region up to u16 quantization (the pre-extrap 0-order
+        # reconstruction erred up to ~0.5 m on this scene)
+        assert np.abs(d2 - depth)[depth > 0].max() < 0.02, \
+            np.abs(d2 - depth)[depth > 0].max()
 
     def test_flow_delta_wire_lossless(self):
         """wire_flow_delta: row-delta entropy coding of the fp16 flow

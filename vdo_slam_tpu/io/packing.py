@@ -147,7 +147,7 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
     return np.stack([ch0, ch1, enc(f[..., 0]), enc(f[..., 1])])
 
 
-def _upsample2x_seg(f, seg, valid=None):
+def _upsample2x_seg(f, seg, valid=None, extrap=False):
     """Seg-aware bilinear 2x upsample of (h, w, C) samples -> (2h, 2w, C)
     with out[2i, 2j] = f[i, j] (matching the host's even-pixel downsample).
 
@@ -163,7 +163,25 @@ def _upsample2x_seg(f, seg, valid=None):
     valid: optional (h, w) bool mask of usable coarse samples (the depth
     wire's zero = invalid convention).  Invalid samples carry no weight in
     either the seg-matched mix or the fallback; a pixel with NO valid
-    contributor at all comes out 0 (stays invalid downstream)."""
+    contributor at all comes out 0 (stays invalid downstream).
+
+    extrap: first-order boundary handling.  Without it, an output pixel
+    whose cell straddles a label boundary renormalizes over the matching
+    corners only — a one-SIDED cell degrades to nearest extension (0-order),
+    i.e. up to 1 coarse px of field slope; for the inverse-depth wire that
+    error is amplified by z^2 and measurably moved camera rotation RPE
+    (round-5 A/B, DESIGN §13).  With extrap=True, corners in LABEL-DEGENERATE
+    cells (some corner excluded by label/validity) vote with their locally-
+    fitted same-label plane extended to the target pixel; cells whose 4
+    corners all match keep the plain exact bilinear.  Gradients are
+    MINMOD-limited (the smaller-magnitude of the two one-sided same-label
+    diffs, zero on sign disagreement): a segment label is NOT one plane
+    (the background mixes road and far structure), and unlimited gradients
+    extrapolate across intra-label depth discontinuities — measured to be
+    WORSE than nearest extension (cam_r 7.7e-4 vs 4.5e-4 on the bench
+    scene).  minmod keeps the affine-interior exactness (both diffs equal
+    the true slope) while clamping to the smooth side at a jump.  Costs
+    ~10 extra shifted-view elementwise ops; still fully fusable."""
     import jax.numpy as jnp
 
     h, w, _ = f.shape
@@ -190,6 +208,54 @@ def _upsample2x_seg(f, seg, valid=None):
     else:
         v4 = (None, None, None, None)
 
+    if extrap:
+        # per-coarse-sample same-label gradients (f units / coarse px).
+        # Neighbors across the image border are marked unusable (the edge
+        # clamp would silently halve the slope); a sample with no usable
+        # neighbor on either side in a direction gets gradient 0 there
+        # (falls back to the 0-order nearest behavior).
+        vb = (valid if valid is not None
+              else jnp.ones((h, w), bool))
+
+        def _axis_grad(sh_n, fb, vb_):
+            zc = jnp.zeros((h, 1), bool)
+            zr = jnp.zeros((1, w), bool)
+            if sh_n == "x":
+                ok_l = jnp.concatenate(
+                    [zc, (sh[:, :-1] == sh[:, 1:]) & vb_[:, :-1]], axis=1)
+                ok_r = jnp.concatenate(
+                    [(sh[:, 1:] == sh[:, :-1]) & vb_[:, 1:], zc], axis=1)
+                f_l = jnp.concatenate([fb[:, :1], fb[:, :-1]], axis=1)
+                f_r = pad_r(fb)
+            else:
+                ok_l = jnp.concatenate(
+                    [zr, (sh[:-1] == sh[1:]) & vb_[:-1]], axis=0)
+                ok_r = jnp.concatenate(
+                    [(sh[1:] == sh[:-1]) & vb_[1:], zr], axis=0)
+                f_l = jnp.concatenate([fb[:1], fb[:-1]], axis=0)
+                f_r = pad_d(fb)
+            okl = ok_l[..., None].astype(fb.dtype)
+            okr = ok_r[..., None].astype(fb.dtype)
+            dl, dr = fb - f_l, f_r - fb
+            # minmod slope limiter: agree in sign -> smaller magnitude,
+            # disagree -> 0 (a local extremum / discontinuity, don't
+            # extrapolate it)
+            minmod = jnp.where(
+                dl * dr > 0,
+                jnp.sign(dl) * jnp.minimum(jnp.abs(dl), jnp.abs(dr)), 0.0)
+            one_sided = okr * dr + (1.0 - okr) * okl * dl
+            both = okl * okr
+            return both * minmod + (1.0 - both) * one_sided
+
+        gx, gy = _axis_grad("x", f, vb), _axis_grad("y", f, vb)
+        g4 = ((gx, gy), (pad_r(gx), pad_r(gy)),
+              (pad_d(gx), pad_d(gy)), (pad_r(pad_d(gx)), pad_r(pad_d(gy))))
+        # corner offsets within the cell, in coarse-pixel units
+        c4 = ((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+    else:
+        g4 = ((None, None),) * 4
+        c4 = ((0.0, 0.0),) * 4
+
     # output phases: (dy, dx) in the 2x2 cell -> bilinear corner weights.
     # The four phase grids are interleaved by a stack+transpose+reshape
     # (pure data movement XLA lays out for free) instead of four strided
@@ -202,13 +268,14 @@ def _upsample2x_seg(f, seg, valid=None):
         w00, w01, w10, w11 = phases[(dy, dx)]
         lab = seg2[dy::2, dx::2]                           # (h, w)
         acc = 0.0
+        acc_x = 0.0
         macc = 0.0
         pacc = 0.0
         pmacc = 0.0
-        for wgt, fv, sv, vv in ((w00, f00, s00, v4[0]),
-                                (w01, f01, s01, v4[1]),
-                                (w10, f10, s10, v4[2]),
-                                (w11, f11, s11, v4[3])):
+        for wgt, fv, sv, vv, gv, cc in ((w00, f00, s00, v4[0], g4[0], c4[0]),
+                                        (w01, f01, s01, v4[1], g4[1], c4[1]),
+                                        (w10, f10, s10, v4[2], g4[2], c4[2]),
+                                        (w11, f11, s11, v4[3], g4[3], c4[3])):
             if wgt == 0.0:
                 continue
             m = (sv == lab).astype(f.dtype)[..., None] * wgt
@@ -220,13 +287,25 @@ def _upsample2x_seg(f, seg, valid=None):
             macc = macc + m
             pacc = pacc + fv * pw
             pmacc = pmacc + pw
+            if extrap:
+                # this corner's plane extended to the target pixel at
+                # (dy/2, dx/2) within the cell (coarse-px units)
+                ddy, ddx = dy * 0.5 - cc[0], dx * 0.5 - cc[1]
+                acc_x = acc_x + (fv + ddy * gv[1] + ddx * gv[0]) * m
         if valid is None:
             plain = pacc                      # exact bilinear (weights sum 1)
         else:
             # validity-weighted bilinear; all-invalid cells come out 0
             plain = jnp.where(pmacc > 0, pacc / jnp.maximum(pmacc, 1e-6),
                               jnp.zeros_like(pacc))
-        vals.append(jnp.where(macc > 0, acc / jnp.maximum(macc, 1e-6),
+        mix = acc
+        if extrap:
+            # extrapolated votes ONLY where a corner was excluded (macc < 1
+            # up to fp noise): full cells keep the exact plain bilinear,
+            # so interiors — including intra-label depth edges — are
+            # bit-unchanged vs extrap=False
+            mix = jnp.where(macc < 1.0 - 1e-4, acc_x, acc)
+        vals.append(jnp.where(macc > 0, mix / jnp.maximum(macc, 1e-6),
                               plain))
     # (2, 2, h, w, C) -> out[2i+dy, 2j+dx] = vals[dy][dx][i, j]
     grid = jnp.stack(vals).reshape(2, 2, h, w, C)
@@ -265,10 +344,16 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
                 1.0 / depth_scale)
             # seg-aware bilinear in INVERSE depth (1/z is affine in pixel
             # on a 3D plane -> planar interiors reconstruct exactly);
-            # zero samples are invalid and carry no weight
+            # zero samples are invalid and carry no weight.  extrap=True:
+            # one-sided boundary cells extrapolate the same-label
+            # inverse-depth plane instead of nearest-extending it — the
+            # 0-order boundary error was 1 coarse px of 1/z slope amplified
+            # by z^2, which doubled camera-rotation RPE and kept this wire
+            # out of tpu_fast (round-5 A/B, DESIGN §13)
             vmask = dc > 0
             inv = jnp.where(vmask, 1.0 / jnp.maximum(dc, 1e-6), 0.0)
-            up = _upsample2x_seg(inv[..., None], seg, vmask)[:H, :W, 0]
+            up = _upsample2x_seg(inv[..., None], seg, vmask,
+                                 extrap=True)[:H, :W, 0]
             depth = jnp.where(up > 1e-9, 1.0 / jnp.maximum(up, 1e-9), 0.0)
         else:
             nd = n
