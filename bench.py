@@ -26,7 +26,11 @@ import numpy as np
 
 BASELINE_FPS = 0.249  # MEASURED: reference C++ end-to-end on the identical 100-frame input (BASELINE.md)
 N_FRAMES = 100
-WARMUP_FRAMES = 4
+# warmup must cover at least one full fused chunk: run_sequence falls
+# back to the single-frame drive when n < chunk, which would warm the
+# WRONG executable and push the chunk compile into the timed region
+# (the round-5 fused_chunk=6 probe lost 120 s to exactly this)
+WARMUP_FRAMES = max(4, int(os.environ.get("VDO_BENCH_CHUNK", "4")))
 
 
 def log(*a):
@@ -86,7 +90,11 @@ def bench_multistream(n_streams: int, n_frames: int = 40,
     ds = InMemoryPackedDataset(raw_ds, depth_map_factor=256.0,
                                flow_down=cfg.tracking.flow_down,
                                flow_delta=cfg.tracking.flow_delta,
-                               depth_down=cfg.tracking.depth_down)
+                               depth_down=cfg.tracking.depth_down,
+                               depth_resid=cfg.tracking.depth_resid,
+                               entropy=cfg.tracking.entropy,
+                               seg_cap=cfg.tracking.wire_seg_cap,
+                               depth_exc_cap=cfg.tracking.wire_depth_exc_cap)
 
     # each stream starts at a different offset of the sequence
     class _View:
@@ -170,6 +178,10 @@ def _env_overrides(cfg):
         tr["wire_flow_down"] = int(env["VDO_BENCH_FLOW_DOWN"])
     if "VDO_BENCH_DEPTH_DOWN" in env:
         tr["wire_depth_down"] = int(env["VDO_BENCH_DEPTH_DOWN"])
+    if "VDO_BENCH_DEPTH_RESID" in env:
+        tr["wire_depth_resid"] = int(env["VDO_BENCH_DEPTH_RESID"])
+    if "VDO_BENCH_ENTROPY" in env:
+        tr["wire_entropy"] = bool(int(env["VDO_BENCH_ENTROPY"]))
     if "VDO_BENCH_DRAIN" in env:
         tr["fused_drain_chunks"] = int(env["VDO_BENCH_DRAIN"])
     if "VDO_BENCH_MASK_PROP" in env:
@@ -282,7 +294,11 @@ def main(hard: bool = False):
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
                                 flow_down=cfg.tracking.flow_down,
                                 flow_delta=cfg.tracking.flow_delta,
-                                depth_down=cfg.tracking.depth_down)
+                                depth_down=cfg.tracking.depth_down,
+                               depth_resid=cfg.tracking.depth_resid,
+                               entropy=cfg.tracking.entropy,
+                               seg_cap=cfg.tracking.wire_seg_cap,
+                               depth_exc_cap=cfg.tracking.wire_depth_exc_cap)
     log(f"pre-packed {len(pds)} frames in {time.perf_counter() - t0:.1f}s "
         f"({pds[0].packed.nbytes / 1e6:.2f} MB/frame wire)")
 

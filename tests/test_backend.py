@@ -312,18 +312,27 @@ class TestFullBA:
                                                    empty_window_graph)
         from vdo_slam_tpu.backend.window_ba import warmup_window_ba
 
+        from vdo_slam_tpu.backend.builders import WINDOW_TIERS
+
         sysm, scene, cfg = tracked_map
         m = sysm.map
         W = min(cfg.tracking.window_size, m.num_frames)
         g_real, v_real, _ = build_window_graph(m, cfg)
-        g_dummy, v_dummy = empty_window_graph(cfg, window=W)
         real_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
                                g_real)
-        dummy_sd = jax.tree.map(lambda a: (np.shape(a), np.asarray(a).dtype),
-                                g_dummy)
-        assert real_sd == dummy_sd
-        assert np.shape(v_real.poses) == np.shape(v_dummy.poses)
-        assert np.shape(v_real.points) == np.shape(v_dummy.points)
+        # the real build picks the smallest fitting tier; its shapes must
+        # match exactly one of the tier dummies (every tier is warmed, so
+        # whichever fires reuses a warm executable)
+        matches = []
+        for t in range(len(WINDOW_TIERS)):
+            g_dummy, v_dummy = empty_window_graph(cfg, window=W, tier=t)
+            dummy_sd = jax.tree.map(
+                lambda a: (np.shape(a), np.asarray(a).dtype), g_dummy)
+            if real_sd == dummy_sd:
+                assert np.shape(v_real.poses) == np.shape(v_dummy.poses)
+                assert np.shape(v_real.points) == np.shape(v_dummy.points)
+                matches.append(t)
+        assert len(matches) == 1, matches
         warmup_window_ba(cfg, window=W)  # must not raise / NaN-crash
 
     def test_capped_shapes_match_warmup_and_solve(self, tracked_map):

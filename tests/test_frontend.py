@@ -528,6 +528,114 @@ class TestWirePacking:
         assert np.abs(d2 - depth)[depth > 0].max() < 0.02, \
             np.abs(d2 - depth)[depth > 0].max()
 
+    def test_depth_resid_wire(self):
+        """wire_depth_resid: the half-res depth wire's planar-in-1/z model
+        errs on CURVED surfaces (a segment label is not one plane); the
+        sparse residual block carries the N worst-reconstructed pixels as
+        bit-exact u16 corrections, host-ranked by the SAME reconstruction
+        the device runs (io/packing.py _depth_residuals) and applied as one
+        scatter after the upsample.  With N covering the curved region, the
+        whole map reconstructs to quantization accuracy."""
+        import jax.numpy as jnp
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(5)
+        H, W = 47, 63
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        # planar background + a strongly CURVED bump (quadratic in 1/z)
+        # inside the SAME label — invisible to the seg-aware interpolation
+        inv = 0.05 + 1e-4 * xx + 2e-4 * yy
+        bump = ((yy - 24) ** 2 + (xx - 40) ** 2) < 100
+        inv = inv + np.where(bump, 4e-4 * ((xx - 40) ** 2 % 7), 0.0)
+        seg = np.zeros((H, W), np.int32)
+        depth = (1.0 / inv).astype(np.float32)
+        flow = rng.normal(0, 3, (H, W, 2)).astype(np.float32)
+        scale = depth_wire_scale(1.0)
+        base = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                          flow_down=2, depth_down=2)
+        R = 512
+        buf = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                         flow_down=2, depth_down=2, depth_resid=R)
+        Hh, Wh = (H + 1) // 2, (W + 1) // 2
+        assert buf.shape == (H * W + 3 * Hh * Wh + 3 * R,)
+        assert np.array_equal(base, buf[:base.size])  # pure append
+        d_base = np.asarray(unpack_frame(
+            jnp.asarray(base), depth_scale=scale, flow_down=2,
+            depth_down=2, hw=(H, W))[1])
+        d_fix = np.asarray(unpack_frame(
+            jnp.asarray(buf), depth_scale=scale, flow_down=2, depth_down=2,
+            depth_resid=R, hw=(H, W))[1])
+        q = 0.5 / scale + 1e-4
+        # without corrections the curved region errs well above quantization
+        assert np.abs(d_base - depth).max() > 10 * q
+        # with them: quantization-level everywhere (512 covers the bump)
+        assert np.abs(d_fix - depth).max() <= 2 * q, \
+            np.abs(d_fix - depth).max()
+        # corrected pixels are BIT-exact vs the u16 the host would ship
+        tgt = np.rint(depth * scale) / scale
+        bad = np.abs(d_base - depth) > 2 * q
+        np.testing.assert_allclose(d_fix[bad], tgt[bad], atol=1e-5)
+
+    def test_entropy_wire_lossless(self):
+        """wire_entropy: the lossless entropy wire (io/packing.py) must
+        reconstruct gray/depth/flow/seg BIT-IDENTICAL to the dense flat
+        wire — it re-encodes (int8 raveled depth deltas + sparse bit-exact
+        exceptions, sparse seg transitions, u8-pair gray) purely to cut
+        raw upload bytes; two integer cumsums invert it on device.  Also
+        checks the static exception caps raise instead of degrading."""
+        import jax.numpy as jnp
+        import pytest
+
+        from vdo_slam_tpu.io.packing import (depth_wire_scale, pack_frame,
+                                             unpack_frame)
+
+        rng = np.random.default_rng(6)
+        H, W = 47, 63
+        gray = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        # piecewise-smooth depth with big jumps (object + invalid hole) so
+        # the exception path is exercised; plus pixel-scale texture
+        depth = (20.0 + 0.05 * xx + rng.normal(0, 0.2, (H, W))).astype(
+            np.float32)
+        seg = np.zeros((H, W), np.int32)
+        seg[12:36, 20:48] = 7
+        depth[seg == 7] = 8.0 + 0.02 * yy[seg == 7]
+        depth[40:44, 5:15] = 0.0          # invalid region (jump to/from 0)
+        flow = rng.normal(0, 5, (H, W, 2)).astype(np.float32)
+        scale = depth_wire_scale(1.0)
+        CS, CD = 128, 512
+        for fdelta in (False, True):
+            dense = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                               flow_down=2, flow_delta=fdelta)
+            ent = pack_frame(gray, depth, flow, seg, depth_scale=scale,
+                             flow_down=2, flow_delta=fdelta, entropy=True,
+                             seg_cap=CS, depth_exc_cap=CD)
+            Hh, Wh = (H + 1) // 2, (W + 1) // 2
+            nh = (H * W + 1) // 2
+            assert ent.shape == (2 * nh + 2 * Hh * Wh + 4 * CD + 4 * CS,)
+            assert ent.size < dense.size   # it IS smaller
+            a = unpack_frame(jnp.asarray(dense), depth_scale=scale,
+                             flow_down=2, flow_delta=fdelta, hw=(H, W))
+            b = unpack_frame(jnp.asarray(ent), depth_scale=scale,
+                             flow_down=2, flow_delta=fdelta, entropy=True,
+                             seg_cap=CS, depth_exc_cap=CD, hw=(H, W))
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # over-cap frames raise (never silently degrade)
+        with pytest.raises(ValueError, match="seg"):
+            pack_frame(gray, depth, flow,
+                       rng.integers(0, 9, (H, W)).astype(np.int32),
+                       depth_scale=scale, flow_down=2, entropy=True,
+                       seg_cap=CS, depth_exc_cap=100000)
+        with pytest.raises(ValueError, match="depth_exc"):
+            pack_frame(gray, rng.uniform(0, 500, (H, W)).astype(np.float32),
+                       flow, seg, depth_scale=scale, flow_down=2,
+                       entropy=True, seg_cap=100000, depth_exc_cap=8)
+
+
     def test_flow_delta_wire_lossless(self):
         """wire_flow_delta: row-delta entropy coding of the fp16 flow
         planes must reconstruct BIT-IDENTICAL samples vs the plain wire —

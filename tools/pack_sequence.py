@@ -38,6 +38,14 @@ def main(argv=None) -> int:
                          "(lossless; ~2x fewer post-compression bytes on a "
                          "compressing link — matches tpu_fast's "
                          "wire_flow_delta; run config must match)")
+    ap.add_argument("--depth-down", type=int, default=1, choices=(1, 2),
+                    help="depth plane downsample (2 = half-res inverse-"
+                         "depth wire; run config wire_depth_down must "
+                         "match)")
+    ap.add_argument("--depth-resid", type=int, default=0,
+                    help="with --depth-down 2: carry the N worst-"
+                         "reconstructed pixels as bit-exact corrections "
+                         "(matches wire_depth_resid)")
     ap.add_argument("--frames", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -45,7 +53,9 @@ def main(argv=None) -> int:
     out = pack_dataset(ds, args.out_dir,
                        depth_map_factor=args.depth_map_factor,
                        flow_half=not args.full_res_flow, n=args.frames,
-                       flow_delta=args.flow_delta)
+                       flow_delta=args.flow_delta,
+                       depth_down=args.depth_down,
+                       depth_resid=args.depth_resid)
     print(f"packed {args.frames or len(ds)} frames -> {out}")
     return 0
 

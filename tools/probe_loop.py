@@ -63,11 +63,17 @@ def main(n_frames: int = 48):
         shapes=ShapeConfig(),
     )
     cfg = tpu_fast(cfg)
+    from bench import _env_overrides  # VDO_BENCH_* A/B knobs
+    cfg = _env_overrides(cfg)
     ds = SyntheticDataset(scene, depth_map_factor=256.0, bf=387.5744)
     pds = InMemoryPackedDataset(ds, depth_map_factor=256.0,
                                 flow_down=cfg.tracking.flow_down,
                                 flow_delta=cfg.tracking.flow_delta,
-                                depth_down=cfg.tracking.depth_down)
+                                depth_down=cfg.tracking.depth_down,
+                               depth_resid=cfg.tracking.depth_resid,
+                               entropy=cfg.tracking.entropy,
+                               seg_cap=cfg.tracking.wire_seg_cap,
+                               depth_exc_cap=cfg.tracking.wire_depth_exc_cap)
     log(f"wire: {pds[0].packed.nbytes / 1e6:.2f} MB/frame")
 
     sysm = System(cfg, enable_local_ba=False, mode="fused")

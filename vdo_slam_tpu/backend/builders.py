@@ -27,6 +27,15 @@ def _bucket(n: int, step: int = 1024) -> int:
 # shares ONE compiled executable
 P_CAP = 4096
 E_CAP = 24576
+# two-tier window shapes: the FIRST window of a sequence carries every
+# tracklet born since frame 0 (bench: 2117 points / 23.3k edges — near the
+# big caps), but every LATER window only sees tracklets born inside it
+# (bench: 510-1119 points / 4.7-11k edges), so padding those solves to the
+# big caps wastes ~half the window-BA device time (exec is linear in the
+# PADDED edge/point counts — fixed shapes).  build_window_graph picks the
+# smallest tier that fits and warmup_window_ba pre-compiles BOTH tiers on
+# the background warmup thread (compile cost off the critical path).
+WINDOW_TIERS = ((2048, 12288), (P_CAP, E_CAP))
 
 
 def _unproject_np(xy, depth, cfg: VDOConfig):
@@ -222,9 +231,12 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
     parts["pri_meas_inv"].append(_np_inv(m.cam_pose[frames[0]]))
     parts["pri_w"].append(be.prior_information)
 
-    # pad points to the fixed capacity (stable executable across windows)
+    # pad to the smallest tier that fits (two stable executables total;
+    # both warmed by warmup_window_ba)
+    p_cap, e_cap = next((pc, ec) for pc, ec in WINDOW_TIERS
+                        if n_pts <= pc and s_pid.size <= ec)
     stat_3d = np.stack(m.stat_3d[:N])
-    pad_p = np.zeros((P_CAP, 3), np.float32)
+    pad_p = np.zeros((p_cap, 3), np.float32)
     if n_pts:
         pad_p[:n_pts] = stat_3d[first_frame[kept_ids],
                                 first_feat[kept_ids]].astype(np.float32)
@@ -233,7 +245,7 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
         motions=np.eye(4, dtype=np.float32)[None],
         points=pad_p,
     )
-    graph = _pad_graph(parts, W, 1, E_CAP)  # single bucket: stable shapes
+    graph = _pad_graph(parts, W, 1, e_cap)  # tier bucket: stable shapes
     # static_tracks in flat form for the write-back (frame, feat, pid)
     meta = GraphMeta(
         frame_ids=frames, static_tracks=[], n_static_points=n_pts,
@@ -244,14 +256,17 @@ def build_window_graph(m: MapState, cfg: VDOConfig, window: int | None = None,
     return graph, variables, meta
 
 
-def empty_window_graph(cfg: VDOConfig, window: int | None = None):
+def empty_window_graph(cfg: VDOConfig, window: int | None = None,
+                       tier: int = -1):
     """A zero-weight window graph with EXACTLY the shapes build_window_graph
-    produces once the archive holds >= window frames (P_CAP/E_CAP are fixed
-    capacities, so shapes depend only on the window length).  Used to
-    compile + first-execute the window-BA program before the first real
+    produces once the archive holds >= window frames (the WINDOW_TIERS caps
+    are fixed, so shapes depend only on the window length and tier).  Used
+    to compile + first-execute the window-BA programs before the first real
     trigger — program load costs seconds on the remote worker and would
-    otherwise land mid-tracking."""
+    otherwise land mid-tracking.  tier indexes WINDOW_TIERS (-1 = the big
+    tier); warmup_window_ba warms every tier."""
     W = window or cfg.tracking.window_size
+    p_cap, e_cap = WINDOW_TIERS[tier]
     be = cfg.backend
     parts = _empty_parts()
     for i in range(1, W):
@@ -265,9 +280,9 @@ def empty_window_graph(cfg: VDOConfig, window: int | None = None):
     variables = Variables(
         poses=np.tile(np.eye(4, dtype=np.float32), (W, 1, 1)),
         motions=np.eye(4, dtype=np.float32)[None],
-        points=np.zeros((P_CAP, 3), np.float32),
+        points=np.zeros((p_cap, 3), np.float32),
     )
-    return _pad_graph(parts, W, 1, E_CAP), variables
+    return _pad_graph(parts, W, 1, e_cap), variables
 
 
 def build_full_graph(m: MapState, cfg: VDOConfig):

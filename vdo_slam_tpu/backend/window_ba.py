@@ -41,13 +41,18 @@ def _lm_params(cfg: VDOConfig, iters: int | None = None) -> LMParams:
 
 
 def warmup_window_ba(cfg: VDOConfig, window: int | None = None) -> None:
-    """Compile AND first-execute the window-BA executable on a zero-weight
-    graph with the exact shapes real window solves use (P_CAP/E_CAP are
-    fixed).  Program load costs seconds on the remote worker; without this
-    the first mid-sequence window trigger stalls the tracking loop."""
-    g, v = empty_window_graph(cfg, window)
-    _, info = lm_solve_schur(g, v, _lm_params(cfg))
-    float(jax.device_get(info["cost"]))
+    """Compile AND first-execute the window-BA executables on zero-weight
+    graphs with the exact shapes real window solves use (one per
+    builders.WINDOW_TIERS entry — the big tier serves the tracklet-rich
+    first window, the small one every later window at ~half the padded
+    exec cost).  Program load costs seconds on the remote worker; without
+    this the first mid-sequence window trigger stalls the tracking loop."""
+    from .builders import WINDOW_TIERS
+
+    for t in range(len(WINDOW_TIERS)):
+        g, v = empty_window_graph(cfg, window, tier=t)
+        _, info = lm_solve_schur(g, v, _lm_params(cfg))
+        float(jax.device_get(info["cost"]))
 
 
 def local_ba_inplace(m: MapState, cfg: VDOConfig, window: int | None = None,

@@ -132,6 +132,32 @@ class TrackingConfig:
     # on the single host core).  Requires wire_flow_down>1.  Off by default
     # (exact-parity wire).
     wire_depth_down: int = 1
+    # sparse residual corrections for the half-res depth wire: carry the N
+    # worst-reconstructed pixels (host-ranked against the same
+    # reconstruction the device runs) as bit-exact [idx|value] u16 triples,
+    # applied as one scatter after the upsample (io/packing.py
+    # _depth_residuals).  The planar-in-1/z interpolation model is exact on
+    # planes but errs on curved / thin structure — exactly where FAST
+    # corners (the camera solver's features) concentrate; the corrections
+    # bound the error by the (N+1)-th largest residual.  16384 corrections
+    # = 96 KB on top of the ~0.7 MB/frame the downsample saves at KITTI
+    # size.  0 = off; requires wire_depth_down=2.
+    wire_depth_resid: int = 0
+    # LOSSLESS entropy wire (io/packing.py): depth as raveled int8 deltas +
+    # sparse bit-exact exceptions, seg as sparse transitions, gray as u8
+    # pairs.  Upload time to the remote chip tracks RAW bytes (compression
+    # CPU on the single host core); this cuts the wire 5 -> ~3.1 B/px at
+    # KITTI size with BIT-IDENTICAL reconstruction (two integer cumsums on
+    # device) — unlike wire_depth_down there is no accuracy trade at all.
+    # Requires a flow-downsampled wire; excludes wire_depth_down/resid.
+    wire_entropy: bool = False
+    # static exception-block capacities of the entropy wire (per frame).
+    # Measured bench scene: <= 27 depth exceptions, <= 383 seg transitions;
+    # defaults carry 20-30x headroom for real scenes (a busy KITTI frame
+    # has ~10-15 instances).  The packer RAISES over cap (lossless by
+    # construction, never silently degraded).
+    wire_seg_cap: int = 8192
+    wire_depth_exc_cap: int = 8192
 
     def __post_init__(self):
         # fail at config time, not deep inside pack/trace (io/packing.py
@@ -147,6 +173,19 @@ class TrackingConfig:
         if self.wire_depth_down > 1 and self.flow_down == 1:
             raise ValueError("wire_depth_down=2 requires a flow-downsampled "
                              "wire (wire_flow_half or wire_flow_down>1)")
+        if self.wire_depth_resid and self.wire_depth_down <= 1:
+            raise ValueError("wire_depth_resid requires wire_depth_down=2")
+        if self.wire_depth_resid < 0:
+            raise ValueError(f"wire_depth_resid must be >= 0 — got "
+                             f"{self.wire_depth_resid}")
+        if self.wire_entropy:
+            if self.flow_down == 1:
+                raise ValueError("wire_entropy requires a flow-downsampled "
+                                 "wire (wire_flow_half or wire_flow_down>1)")
+            if self.wire_depth_down > 1 or self.wire_depth_resid:
+                raise ValueError("wire_entropy excludes wire_depth_down/"
+                                 "wire_depth_resid (it carries full-res "
+                                 "depth losslessly)")
 
     @property
     def flow_down(self) -> int:
@@ -159,6 +198,14 @@ class TrackingConfig:
     @property
     def depth_down(self) -> int:
         return self.wire_depth_down
+
+    @property
+    def depth_resid(self) -> int:
+        return self.wire_depth_resid
+
+    @property
+    def entropy(self) -> bool:
+        return self.wire_entropy
     # chunks per output drain: every device->host fetch costs ~1 tunnel
     # round-trip ON THE CRITICAL PATH even from a background thread (the
     # client serializes requests; measured: the 30 ms/frame never-sync

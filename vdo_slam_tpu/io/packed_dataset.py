@@ -49,6 +49,8 @@ _VERSION_DELTA = 3    # flow planes row-delta coded (packing._row_delta_u16):
 #                       reader would decode garbage flow, hence the bump
 _VERSION_DDOWN = 4    # depth plane downsampled 2x (packing depth_down=2):
 #                       shorter wire, different offsets — bump again
+_VERSION_RESID = 5    # sparse depth residual block appended (depth_resid>0)
+_VERSION_ENTROPY = 6  # lossless entropy wire (packing entropy=True)
 
 
 @dataclasses.dataclass
@@ -71,7 +73,11 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
                  flow_half: bool = True, n: int | None = None,
                  flow_down: int | None = None,
                  flow_delta: bool = False,
-                 depth_down: int = 1) -> Path:
+                 depth_down: int = 1,
+                 depth_resid: int = 0,
+                 entropy: bool = False,
+                 seg_cap: int = 8192,
+                 depth_exc_cap: int = 8192) -> Path:
     """Pack any FrameData-yielding dataset into a PackedDataset directory."""
     from .packing import _norm_flow_down
 
@@ -85,7 +91,9 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
     H, W = fd0.rgb.shape
     w0 = pack_frame(fd0.rgb, fd0.depth_raw, fd0.flow, fd0.mask,
                     depth_scale=dscale, flow_down=down,
-                    flow_delta=flow_delta, depth_down=depth_down).ravel()
+                    flow_delta=flow_delta, depth_down=depth_down,
+                    depth_resid=depth_resid, entropy=entropy,
+                    seg_cap=seg_cap, depth_exc_cap=depth_exc_cap).ravel()
     wire_len = int(w0.size)
 
     buf = np.memmap(out / "frames.i16", dtype=np.int16, mode="w+",
@@ -98,7 +106,9 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
         w = (w0 if i == 0 else pack_frame(
             fd.rgb, fd.depth_raw, fd.flow, fd.mask, depth_scale=dscale,
             flow_down=down, flow_delta=flow_delta,
-            depth_down=depth_down).ravel())
+            depth_down=depth_down, depth_resid=depth_resid,
+            entropy=entropy, seg_cap=seg_cap,
+            depth_exc_cap=depth_exc_cap).ravel())
         buf[i] = w
         poses[i] = np.asarray(fd.pose_gt_raw, np.float32)
         times[i] = float(fd.timestamp)
@@ -113,7 +123,9 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
             np.zeros((0, 10), np.float32))
     np.save(out / "obj_offsets.npy", np.asarray(offs, np.int64))
     (out / "meta.json").write_text(json.dumps({
-        "version": (_VERSION_DDOWN if depth_down > 1 else
+        "version": (_VERSION_ENTROPY if entropy else
+                    _VERSION_RESID if depth_resid else
+                    _VERSION_DDOWN if depth_down > 1 else
                     _VERSION_DELTA if flow_delta else
                     _VERSION_DOWN4 if down == 4 else _VERSION),
         "n": n, "H": int(H), "W": int(W),
@@ -121,6 +133,10 @@ def pack_dataset(dataset, out_dir: str | Path, depth_map_factor: float,
         "flow_half": down == 2, "flow_down": down,
         "flow_delta": bool(flow_delta),
         "depth_down": int(depth_down),
+        "depth_resid": int(depth_resid),
+        "entropy": bool(entropy),
+        "seg_cap": int(seg_cap),
+        "depth_exc_cap": int(depth_exc_cap),
         "depth_map_factor": float(depth_map_factor),
     }))
     return out
@@ -138,7 +154,9 @@ class PackedDataset:
         self.dir = Path(path)
         self.meta = json.loads((self.dir / "meta.json").read_text())
         if self.meta.get("version") not in (_VERSION, _VERSION_DOWN4,
-                                            _VERSION_DELTA, _VERSION_DDOWN):
+                                            _VERSION_DELTA, _VERSION_DDOWN,
+                                            _VERSION_RESID,
+                                            _VERSION_ENTROPY):
             raise ValueError(f"packed dataset version mismatch: {self.meta}")
         n, L = self.meta["n"], self.meta["wire_len"]
         self.frames = np.memmap(self.dir / "frames.i16", dtype=np.int16,
@@ -175,6 +193,20 @@ class PackedDataset:
             raise ValueError(
                 f"packed depth_down={packed_dd} != config "
                 f"depth_down={tr.depth_down}")
+        packed_dr = int(self.meta.get("depth_resid", 0))
+        if tr.depth_resid != packed_dr:
+            raise ValueError(
+                f"packed depth_resid={packed_dr} != config "
+                f"depth_resid={tr.depth_resid}")
+        packed_en = bool(self.meta.get("entropy", False))
+        if tr.entropy != packed_en or (packed_en and (
+                tr.wire_seg_cap != int(self.meta.get("seg_cap", 0)) or
+                tr.wire_depth_exc_cap != int(
+                    self.meta.get("depth_exc_cap", 0)))):
+            raise ValueError(
+                f"packed entropy wire {packed_en}/{self.meta.get('seg_cap')}"
+                f"/{self.meta.get('depth_exc_cap')} != config "
+                f"{tr.entropy}/{tr.wire_seg_cap}/{tr.wire_depth_exc_cap}")
         if (cfg.camera.height, cfg.camera.width) != (self.meta["H"],
                                                      self.meta["W"]):
             raise ValueError("packed H/W mismatch with config camera")
@@ -197,7 +229,11 @@ class InMemoryPackedDataset:
                  flow_half: bool = True, n: int | None = None,
                  flow_down: int | None = None,
                  flow_delta: bool = False,
-                 depth_down: int = 1):
+                 depth_down: int = 1,
+                 depth_resid: int = 0,
+                 entropy: bool = False,
+                 seg_cap: int = 8192,
+                 depth_exc_cap: int = 8192):
         n = len(dataset) if n is None else min(n, len(dataset))
         dscale = depth_wire_scale(depth_map_factor)
         self._items = []
@@ -208,7 +244,10 @@ class InMemoryPackedDataset:
                                   depth_scale=dscale, flow_half=flow_half,
                                   flow_down=flow_down,
                                   flow_delta=flow_delta,
-                                  depth_down=depth_down),
+                                  depth_down=depth_down,
+                                  depth_resid=depth_resid,
+                                  entropy=entropy, seg_cap=seg_cap,
+                                  depth_exc_cap=depth_exc_cap),
                 pose_gt_raw=np.asarray(fd.pose_gt_raw, np.float32),
                 obj_gt_rows=np.asarray(fd.obj_gt_rows,
                                        np.float32).reshape(-1, 10),

@@ -84,12 +84,106 @@ def _norm_depth_down(depth_down: int | None, flow_d: int) -> int:
     return d
 
 
+def wire_kwargs(tr) -> dict:
+    """The wire-format keyword set shared by pack_frame and unpack_frame,
+    derived from a TrackingConfig — the single place call sites pick up
+    every wire knob (flow down/delta, depth down/resid, entropy caps).
+    unpack_frame callers add hw=(H, W)."""
+    return dict(depth_scale=depth_wire_scale(tr.depth_map_factor),
+                flow_down=tr.flow_down, flow_delta=tr.flow_delta,
+                depth_down=tr.depth_down, depth_resid=tr.depth_resid,
+                entropy=tr.entropy, seg_cap=tr.wire_seg_cap,
+                depth_exc_cap=tr.wire_depth_exc_cap)
+
+
+def _pack_u8_pairs(a: np.ndarray) -> np.ndarray:
+    """(n,) uint8-range values -> (ceil(n/2),) int16, two per lane."""
+    a = a.astype(np.uint16)
+    if a.size % 2:
+        a = np.concatenate([a, a[-1:]])
+    return (a[0::2] | (a[1::2] << 8)).astype(np.int16)
+
+
+def _delta_i8_exc(v: np.ndarray, cap: int, what: str):
+    """Raveled-order lossless delta coding of an integer sequence: int8
+    deltas where they fit, plus <= cap sparse (index, true-delta) exception
+    pairs for the rest (the int8 slot is zeroed there; the device adds the
+    sparse delta back before the cumulative sum).  Raises if the sequence
+    needs more than `cap` exceptions — the cap is a static-shape config
+    knob (TrackingConfig.wire_*_cap), not a silent quality cliff."""
+    d = np.diff(np.concatenate([np.zeros(1, np.int64), v.astype(np.int64)]))
+    big = np.abs(d) > 127
+    n = int(np.sum(big))
+    if n > cap:
+        raise ValueError(
+            f"entropy wire: frame needs {n} {what} exceptions > cap {cap}; "
+            f"raise the wire_{what}_cap config knob")
+    i8 = np.where(big, 0, d).astype(np.int8)
+    idx = np.flatnonzero(big).astype(np.int64)
+    exc = d[idx].astype(np.int64)
+    if n < cap:                       # pad with no-op (idx 0, delta 0)
+        pad = cap - n
+        idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+        exc = np.concatenate([exc, np.zeros(pad, np.int64)])
+    return i8, idx, exc
+
+
+def _exc_planes(idx: np.ndarray, val: np.ndarray) -> list[np.ndarray]:
+    """Sparse (index, i32 value) pairs -> four contiguous u16 planes
+    [idx_lo | idx_hi | val_lo | val_hi] viewed int16 (the wire dtype)."""
+    v = val.astype(np.int64)
+    return [(idx & 0xFFFF).astype(np.uint16).view(np.int16),
+            ((idx >> 16) & 0xFFFF).astype(np.uint16).view(np.int16),
+            (v & 0xFFFF).astype(np.uint16).view(np.int16),
+            ((v >> 16) & 0xFFFF).astype(np.uint16).view(np.int16)]
+
+
+def _depth_residuals(depth_raw: np.ndarray, seg: np.ndarray,
+                     depth_scale: float, dd: int, cap: int):
+    """Host-side ranking of the `cap` worst pixels of the half-res depth
+    reconstruction, for the sparse-residual wire block (pack_frame
+    depth_resid).
+
+    Runs the EXACT device reconstruction (_upsample2x_seg extrap path, same
+    arithmetic, numpy backend) on the quantized coarse samples the wire
+    will carry, compares against the quantized full-res truth, and returns
+    the indices + true u16 values of the `cap` largest absolute errors
+    (in meters — the quantity the 3D unprojection consumes).  Even-pixel
+    samples are carried exactly, so the ranking lands on the interpolated
+    pixels where the planar-in-1/z model fails: curved surfaces, thin
+    structure, intra-label depth edges.  Indices are sorted ascending
+    (helps both the tunnel compressor and scatter locality).  For
+    pre-packed datasets this runs OFFLINE; in the live path it adds one
+    numpy pass per frame."""
+    H, W = depth_raw.shape
+    tgt16 = np.clip(np.rint(depth_raw * depth_scale), 0,
+                    65535).astype(np.uint16)
+    dc = tgt16[0::dd, 0::dd].astype(np.float32) * np.float32(1.0 /
+                                                             depth_scale)
+    vmask = dc > 0
+    inv = np.where(vmask, 1.0 / np.maximum(dc, 1e-6), 0.0).astype(
+        np.float32)
+    seg_i = np.clip(seg, 0, 255).astype(np.int32)
+    up = _upsample2x_seg(inv[..., None], seg_i, vmask, extrap=True,
+                         xp=np)[:H, :W, 0]
+    rec = np.where(up > 1e-9, 1.0 / np.maximum(up, 1e-9), 0.0)
+    tgt = tgt16.astype(np.float32) * np.float32(1.0 / depth_scale)
+    err = np.abs(rec - tgt).ravel()
+    cap = min(int(cap), err.size)
+    idx = np.sort(np.argpartition(err, -cap)[-cap:]).astype(np.int64)
+    return idx, tgt16.ravel()[idx]
+
+
 def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
                seg: np.ndarray, depth_scale: float = 1.0,
                flow_half: bool = False,
                flow_down: int | None = None,
                flow_delta: bool = False,
-               depth_down: int = 1) -> np.ndarray:
+               depth_down: int = 1,
+               depth_resid: int = 0,
+               entropy: bool = False,
+               seg_cap: int = 8192,
+               depth_exc_cap: int = 8192) -> np.ndarray:
     """Host-side pack: (H,W) gray [0,1], (H,W) raw depth samples,
     (H,W,2) float flow, (H,W) int labels -> (4,H,W) int16.
 
@@ -121,14 +215,78 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
     only same-label samples, invalid (zero) samples carry no weight).
     Cuts the raw wire another ~0.7 MB/frame at KITTI size — the upload to
     a remote-attached device costs time proportional to RAW bytes (the
-    tunnel compresses on the single host core).  Requires flow_down>1."""
+    tunnel compresses on the single host core).  Requires flow_down>1.
+
+    depth_resid: with depth_down>1, additionally carry the `depth_resid`
+    WORST-reconstructed pixels as sparse bit-exact corrections
+    (_depth_residuals): 3 u16 per correction ([idx_lo | idx_hi | value]
+    planes appended after the flow), applied as one scatter on device.
+    Bounds the reconstruction error by the (cap+1)-th largest residual —
+    the half-res interpolation model is exact on planes but not on curved
+    / thin structure, which is where the camera solver's features live.
+    16384 corrections cost 96 KB against the ~0.7 MB the downsample
+    saves.
+
+    entropy: the LOSSLESS entropy wire (requires flow_down>1; excludes
+    depth_down/depth_resid).  Upload time to a remote-attached chip tracks
+    RAW bytes (the tunnel's compressor runs on the single host core), so
+    instead of shipping dense u16 depth + u8 seg it ships:
+      * depth as RAVELED int8 deltas (1 B/px; the u16 samples of real
+        depth maps move < 0.5 m between adjacent pixels almost everywhere)
+        plus <= depth_exc_cap sparse bit-exact exceptions for the jumps
+        (measured bench scene: <= 27/frame),
+      * seg as <= seg_cap sparse raveled transitions only (measured:
+        <= 383/frame) — label maps are piecewise constant,
+      * gray as u8 pairs (unchanged content, denser lanes).
+    The device inverts both delta streams with one integer cumsum each
+    (bit-exact) — reconstruction is IDENTICAL to the dense wire, so this
+    is pure upload-time savings: 5 -> ~3.1 B/px at KITTI size.  Caps are
+    static shapes; a frame over cap raises (see _delta_i8_exc)."""
     d = _norm_flow_down(flow_half, flow_down)
     dd = _norm_depth_down(depth_down, d)
+    if depth_resid and dd <= 1:
+        raise ValueError("depth_resid requires depth_down>1")
+    if entropy:
+        if d == 1:
+            raise ValueError("entropy wire requires flow_down>1")
+        if dd > 1 or depth_resid:
+            raise ValueError("entropy wire excludes depth_down/depth_resid "
+                             "(it carries full-res depth losslessly)")
     g8 = np.clip(np.rint(gray * 255.0), 0, 255).astype(np.uint16)
     s8 = np.clip(seg, 0, 255).astype(np.uint16)
+    d16 = np.clip(np.rint(depth_raw * depth_scale), 0,
+                  65535).astype(np.uint16)
+    if entropy:
+        dep_i8, dep_idx, dep_exc = _delta_i8_exc(
+            d16.ravel(), depth_exc_cap, "depth_exc")
+        seg_d = np.diff(np.concatenate(
+            [np.zeros(1, np.int64), s8.ravel().astype(np.int64)]))
+        tr_idx = np.flatnonzero(seg_d != 0).astype(np.int64)
+        if tr_idx.size > seg_cap:
+            raise ValueError(
+                f"entropy wire: frame has {tr_idx.size} seg transitions > "
+                f"cap {seg_cap}; raise the wire_seg_cap config knob")
+        tr_val = seg_d[tr_idx]
+        if tr_idx.size < seg_cap:
+            pad = seg_cap - tr_idx.size
+            tr_idx = np.concatenate([tr_idx, np.zeros(pad, np.int64)])
+            tr_val = np.concatenate([tr_val, np.zeros(pad, np.int64)])
+        fh = np.ascontiguousarray(
+            flow[0::d, 0::d].astype(np.float16)).view(np.int16)
+
+        def enc_(plane):
+            if not flow_delta:
+                return plane
+            return _row_delta_u16(plane.view(np.uint16)).view(np.int16)
+
+        parts = [_pack_u8_pairs(g8.ravel()),
+                 _pack_u8_pairs(dep_i8.view(np.uint8)),
+                 enc_(fh[..., 0]).ravel(), enc_(fh[..., 1]).ravel()]
+        parts += _exc_planes(dep_idx, dep_exc)
+        parts += _exc_planes(tr_idx, tr_val)
+        return np.concatenate(parts)
     ch0 = (g8 | (s8 << 8)).astype(np.int16)
-    ch1 = np.clip(np.rint(depth_raw * depth_scale), 0,
-                  65535).astype(np.uint16).view(np.int16)
+    ch1 = d16.view(np.int16)
     if dd > 1:
         ch1 = np.ascontiguousarray(ch1[0::dd, 0::dd])
 
@@ -140,14 +298,27 @@ def pack_frame(gray: np.ndarray, depth_raw: np.ndarray, flow: np.ndarray,
     if d > 1:
         fh = np.ascontiguousarray(
             flow[0::d, 0::d].astype(np.float16)).view(np.int16)
-        return np.concatenate([ch0.ravel(), ch1.ravel(),
-                               enc(fh[..., 0]).ravel(),
-                               enc(fh[..., 1]).ravel()])
+        parts = [ch0.ravel(), ch1.ravel(),
+                 enc(fh[..., 0]).ravel(), enc(fh[..., 1]).ravel()]
+        if depth_resid:
+            idx, vals = _depth_residuals(depth_raw, seg, depth_scale, dd,
+                                         depth_resid)
+            if idx.size < depth_resid:      # pad by repeating the first
+                pad = depth_resid - idx.size
+                idx = np.concatenate([idx, np.full(pad, idx[0] if idx.size
+                                                   else 0)])
+                vals = np.concatenate(
+                    [vals, np.full(pad, vals[0] if vals.size else 0,
+                                   np.uint16)])
+            parts += [(idx & 0xFFFF).astype(np.uint16).view(np.int16),
+                      (idx >> 16).astype(np.uint16).view(np.int16),
+                      vals.view(np.int16)]
+        return np.concatenate(parts)
     f = np.ascontiguousarray(flow.astype(np.float16)).view(np.int16)
     return np.stack([ch0, ch1, enc(f[..., 0]), enc(f[..., 1])])
 
 
-def _upsample2x_seg(f, seg, valid=None, extrap=False):
+def _upsample2x_seg(f, seg, valid=None, extrap=False, xp=None):
     """Seg-aware bilinear 2x upsample of (h, w, C) samples -> (2h, 2w, C)
     with out[2i, 2j] = f[i, j] (matching the host's even-pixel downsample).
 
@@ -181,8 +352,15 @@ def _upsample2x_seg(f, seg, valid=None, extrap=False):
     WORSE than nearest extension (cam_r 7.7e-4 vs 4.5e-4 on the bench
     scene).  minmod keeps the affine-interior exactness (both diffs equal
     the true slope) while clamping to the smooth side at a jump.  Costs
-    ~10 extra shifted-view elementwise ops; still fully fusable."""
-    import jax.numpy as jnp
+    ~10 extra shifted-view elementwise ops; still fully fusable.
+
+    xp: array namespace — jax.numpy (default; the device unpack) or numpy
+    (the host-side mirror pack_frame runs to rank residual corrections,
+    _depth_residuals).  The arithmetic is identical either way; only the
+    backend differs."""
+    if xp is None:
+        import jax.numpy as xp
+    jnp = xp
 
     h, w, _ = f.shape
     # edge-pad to exactly (2h, 2w): for odd H/W the last sample row/col of
@@ -316,7 +494,11 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
                  hw: tuple[int, int] | None = None,
                  flow_down: int | None = None,
                  flow_delta: bool = False,
-                 depth_down: int = 1):
+                 depth_down: int = 1,
+                 depth_resid: int = 0,
+                 entropy: bool = False,
+                 seg_cap: int = 8192,
+                 depth_exc_cap: int = 8192):
     """Device-side unpack: (4,H,W) int16 — or the flat flow_down>1 layout,
     with hw=(H,W) — -> (gray f32, depth_raw f32, flow f32 (H,W,2), seg i32).
     Pure elementwise (+ the seg-aware flow upsample for flow_down>1, applied
@@ -329,6 +511,63 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
 
     d = _norm_flow_down(flow_half, flow_down)
     dd = _norm_depth_down(depth_down, d)
+    if entropy:
+        # lossless entropy wire (see pack_frame): u8-pair gray, i8-delta
+        # depth + sparse exceptions, sparse seg transitions; two integer
+        # cumsums invert the delta streams bit-exactly
+        H, W = hw
+        Hd, Wd = (H + d - 1) // d, (W + d - 1) // d
+        n = H * W
+        nh = (n + 1) // 2
+        u = jax.lax.bitcast_convert_type(buf, jnp.uint16)
+
+        def unpair(plane):                       # (nh,) u16 -> (n,) u8
+            lo = plane & 0xFF
+            hi = plane >> 8
+            return jnp.stack([lo, hi], axis=-1).reshape(-1)[:n]
+
+        def sext8(b):                            # u8 -> signed i32
+            return ((b.astype(jnp.int32) ^ 0x80) - 0x80)
+
+        def exc(block):                          # 4 planes -> (idx, i32 val)
+            cap = block.shape[0] // 4
+            idx = (block[:cap].astype(jnp.int32)
+                   | (block[cap:2 * cap].astype(jnp.int32) << 16))
+            val = (block[2 * cap:3 * cap].astype(jnp.int32)
+                   | (block[3 * cap:].astype(jnp.int32) << 16))
+            return idx, val
+
+        gray = unpair(u[:nh]).astype(jnp.float32) * (1.0 / 255.0)
+        deltas = sext8(unpair(u[nh:2 * nh]))
+        o = 2 * nh + 2 * Hd * Wd
+        dep_idx, dep_val = exc(u[o:o + 4 * depth_exc_cap])
+        o2 = o + 4 * depth_exc_cap
+        seg_idx, seg_val = exc(u[o2:o2 + 4 * seg_cap])
+        deltas = deltas.at[dep_idx].add(dep_val)     # pad = (0, 0) no-ops
+        d16 = jnp.cumsum(deltas)
+        depth = (d16.astype(jnp.float32) * (1.0 / depth_scale)).reshape(
+            H, W)
+        seg = jnp.cumsum(
+            jnp.zeros((n,), jnp.int32).at[seg_idx].add(seg_val)).reshape(
+                H, W)
+
+        def dec(plane_u16):
+            if flow_delta:
+                plane_u16 = _row_undelta_u16(plane_u16)
+            return jax.lax.bitcast_convert_type(
+                plane_u16, jnp.float16).astype(jnp.float32)
+
+        fu16 = u[2 * nh:o]
+        f = jnp.stack([dec(fu16[:Hd * Wd].reshape(Hd, Wd)),
+                       dec(fu16[Hd * Wd:].reshape(Hd, Wd))], axis=-1)
+        lvl = d
+        while lvl > 1:
+            lvl //= 2
+            seg_s = seg[0::lvl, 0::lvl]
+            hs = (H + lvl - 1) // lvl
+            ws = (W + lvl - 1) // lvl
+            f = _upsample2x_seg(f, seg_s)[:hs, :ws]
+        return gray.reshape(H, W), depth, f, seg
     if d > 1:
         H, W = hw
         Hd, Wd = (H + d - 1) // d, (W + d - 1) // d
@@ -355,6 +594,19 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
             up = _upsample2x_seg(inv[..., None], seg, vmask,
                                  extrap=True)[:H, :W, 0]
             depth = jnp.where(up > 1e-9, 1.0 / jnp.maximum(up, 1e-9), 0.0)
+            if depth_resid:
+                # sparse bit-exact corrections: overwrite the cap
+                # worst-reconstructed pixels with their true u16 samples
+                # (one 1D scatter; padding repeats a real correction, so
+                # duplicates are idempotent)
+                nf = Hd * Wd * 2
+                r = u[n + nd + nf:n + nd + nf + 3 * depth_resid]
+                lo = r[:depth_resid].astype(jnp.int32)
+                hi = r[depth_resid:2 * depth_resid].astype(jnp.int32)
+                dv = r[2 * depth_resid:].astype(jnp.float32) * (
+                    1.0 / depth_scale)
+                depth = depth.ravel().at[lo | (hi << 16)].set(
+                    dv).reshape(H, W)
         else:
             nd = n
             depth = u[n:2 * n].reshape(H, W).astype(jnp.float32) * (
@@ -366,7 +618,7 @@ def unpack_frame(buf, depth_scale: float = 1.0, flow_half: bool = False,
             return jax.lax.bitcast_convert_type(
                 plane_u16, jnp.float16).astype(jnp.float32)
 
-        fu16 = u[n + nd:]
+        fu16 = u[n + nd:n + nd + 2 * Hd * Wd]
         f = jnp.stack([dec(fu16[:Hd * Wd].reshape(Hd, Wd)),
                        dec(fu16[Hd * Wd:].reshape(Hd, Wd))], axis=-1)
         # upsample 2x at a time; stage s consumes the seg labels subsampled

@@ -220,14 +220,10 @@ def make_frame_step(cfg: VDOConfig, packed: bool = False):
 
     def step(state, inputs, key):
         if packed:
-            from ..io.packing import depth_wire_scale, unpack_frame
+            from ..io.packing import unpack_frame, wire_kwargs
 
             gray, depth_raw, flow, seg = unpack_frame(
-                inputs["packed"],
-                depth_scale=depth_wire_scale(tr.depth_map_factor),
-                flow_down=tr.flow_down,
-                flow_delta=tr.flow_delta,
-                depth_down=tr.depth_down,
+                inputs["packed"], **wire_kwargs(tr),
                 hw=(cfg.camera.height, cfg.camera.width))
             unpacked = {"rgb": gray, "depth_raw": depth_raw, "flow": flow,
                         "seg": seg, "T_cw_gt": inputs["T_cw_gt"]}
@@ -320,7 +316,7 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
         return tot
 
     def _prefix(state, pinputs, key, z, n_spans: int):
-        from ..io.packing import depth_wire_scale, unpack_frame
+        from ..io.packing import unpack_frame, wire_kwargs
         from ..pipeline.fused import _pack_outputs
 
         last: FrameState = state["frame"]
@@ -335,9 +331,7 @@ def make_scan_probe(cfg: VDOConfig, n_iters: int = 8):
             packed = pinputs["packed"] + (z * chk).astype(
                 pinputs["packed"].dtype)
             rgb, depth_raw, flow, seg_raw = unpack_frame(
-                packed, depth_scale=depth_wire_scale(tr.depth_map_factor),
-                flow_down=tr.flow_down, flow_delta=tr.flow_delta,
-                depth_down=tr.depth_down,
+                packed, **wire_kwargs(tr),
                 hw=(cfg.camera.height, cfg.camera.width))
             chk = _chk(rgb, depth_raw, flow, seg_raw)
             if n_spans == 1:

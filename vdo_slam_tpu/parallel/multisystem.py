@@ -105,20 +105,19 @@ class MultiStreamSystem:
 
     def _stage(self, fds) -> dict:
         """One stacked (S,4,H,W) packed upload for all streams."""
-        scale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
 
         def _wire(fd):
             # pre-packed frames (io/packed_dataset.py) skip the host pack
             pre = getattr(fd, "packed", None)
             if pre is not None:
                 return pre
+            from ..io.packing import wire_kwargs
+
             return pack_frame(np.asarray(fd.rgb, np.float32),
                               np.asarray(fd.depth_raw, np.float32),
                               np.asarray(fd.flow, np.float32),
-                              np.asarray(fd.mask), depth_scale=scale,
-                              flow_down=self.cfg.tracking.flow_down,
-                              flow_delta=self.cfg.tracking.flow_delta,
-                              depth_down=self.cfg.tracking.depth_down)
+                              np.asarray(fd.mask),
+                              **wire_kwargs(self.cfg.tracking))
 
         packed = np.stack([_wire(fd) for fd in fds])
         gts = [t._gt_pose(fd.pose_gt_raw)

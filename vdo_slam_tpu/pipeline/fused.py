@@ -229,7 +229,7 @@ class FusedTracker:
         time so uploads overlap the previous frame's compute (the double-
         buffered host->device pipeline, SURVEY.md §2.3)."""
         T_cw_gt = self._gt_pose(fd.pose_gt_raw)
-        from ..io.packing import depth_wire_scale
+        from ..io.packing import wire_kwargs
 
         pre = getattr(fd, "packed", None)
         staged = jax.device_put({
@@ -238,11 +238,7 @@ class FusedTracker:
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
                 np.asarray(fd.mask),
-                depth_scale=depth_wire_scale(
-                    self.cfg.tracking.depth_map_factor),
-                flow_down=self.cfg.tracking.flow_down,
-                flow_delta=self.cfg.tracking.flow_delta,
-                depth_down=self.cfg.tracking.depth_down),
+                **wire_kwargs(self.cfg.tracking)),
             "T_cw_gt": np.asarray(T_cw_gt, np.float32),
             "gt_sems": self._stage_gt_sems(fd),
         })
@@ -462,9 +458,9 @@ class FusedTracker:
 
     def device_inputs_chunk(self, fds) -> dict:
         """Stage a CHUNK of frames on device in one transfer (async)."""
-        from ..io.packing import depth_wire_scale
+        from ..io.packing import wire_kwargs
 
-        dscale = depth_wire_scale(self.cfg.tracking.depth_map_factor)
+        wk = wire_kwargs(self.cfg.tracking)
         packs, gts, sems = [], [], []
         for fd in fds:
             gts.append(self._gt_pose(fd.pose_gt_raw))
@@ -476,10 +472,7 @@ class FusedTracker:
                 np.asarray(fd.rgb, np.float32),
                 np.asarray(fd.depth_raw, np.float32),
                 np.asarray(fd.flow, np.float32),
-                np.asarray(fd.mask), depth_scale=dscale,
-                flow_down=self.cfg.tracking.flow_down,
-                flow_delta=self.cfg.tracking.flow_delta,
-                depth_down=self.cfg.tracking.depth_down))
+                np.asarray(fd.mask), **wk))
         staged = jax.device_put({
             "packed": np.stack(packs),
             "T_cw_gt": np.stack(gts).astype(np.float32),
