@@ -435,20 +435,15 @@ def main(hard: bool = False):
 
 if __name__ == "__main__":
     if "--throughput" in sys.argv:
-        # the measured max-aggregate-throughput point on one chip
-        # (round-5 sweep): 6 vmapped streams, half-res depth wire, and the
-        # refit-enabled reduced LM budgets.  At S>=5 the default config is
-        # CO-LIMITED by the ~110 MB/s tunnel upload (S x 2.33 MB/frame)
-        # and the ~23.5 ms/frame vmapped device step; the 1.63 MB/frame
-        # depth_down wire lifts the upload cap and obj/cam LM 6/10 (A/B'd
-        # at parity accuracy, config.py) lifts the device cap — measured
-        # 48.5 aggregate fps = 11.3x the reference's 4.3 fps tracking.
-        # Accuracy trade vs the default wire: cam_r ~4.9e-4 deg (vs
-        # 2.7e-4 default, 3.85e-2 reference) — still ~79x better than the
-        # reference; every other axis unchanged.
-        os.environ.setdefault("VDO_BENCH_DEPTH_DOWN", "2")
-        os.environ.setdefault("VDO_BENCH_OBJ_ITERS", "6")
-        os.environ.setdefault("VDO_BENCH_CAM_ITERS", "10")
+        # the measured max-aggregate-throughput point on one chip: 6
+        # vmapped streams on the tpu_fast defaults.  At S>=5 the round-5
+        # sweep was CO-LIMITED by the tunnel upload (S x 2.33 MB/frame at
+        # ~110 MB/s) and the vmapped device step; tpu_fast now carries the
+        # levers that lifted both caps — the LOSSLESS entropy wire
+        # (3.3 B/px, bit-identical reconstruction; it replaced the earlier
+        # half-res depth wire whose one-sided boundary reconstruction cost
+        # ~2x camera-rotation RPE) and the refit-enabled obj/cam LM 6/10 —
+        # so this mode is just the S=6 sweep point of the default config.
         s = (int(sys.argv[sys.argv.index("--streams") + 1])
              if "--streams" in sys.argv else 6)
         bench_multistream(s, tag="_throughput")
