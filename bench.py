@@ -338,34 +338,6 @@ def main(hard: bool = False):
     log(f"full-BA warmup: total {time.perf_counter() - warm_t0:.1f}s "
         f"({time.perf_counter() - t0:.1f}s past tracking warmup)")
 
-    # per-stage device-time split (the reference's 5-span harness) — the
-    # fused chunk step is one executable, so the split is measured by a
-    # stage-by-stage probe on real state/inputs, off the timed region
-    t0 = time.perf_counter()
-    try:
-        # VDO_BENCH_NO_PROBE=1 skips the probe for fast A/B iteration runs
-        # (the 6 prefix programs cost 100-400 s of compile when the
-        # compile-service cache is cold); the driver's round-end run keeps
-        # the probe so BENCH_r* records real per-stage device times
-        if os.environ.get("VDO_BENCH_NO_PROBE"):
-            raise RuntimeError("skipped (VDO_BENCH_NO_PROBE=1)")
-        # n_iters=4: resolution 4x per-stage ms (plenty vs the few-ms rep
-        # noise) at half the default's compile cost — the 6 prefix programs
-        # dominate probe wall time on a cold compile-service cache
-        stage_ms = sysm.tracker.calibrate_stage_times(pds[WARMUP_FRAMES],
-                                                      n_iters=4)
-        log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
-            f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
-            + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
-        from vdo_slam_tpu.parallel.multistream import PROBE_SPANS
-
-        span_sum = sum(stage_ms[k] for k in PROBE_SPANS)
-        fm = stage_ms.get("_frame_ms", 0.0)
-        log(f"span coverage: sum(spans)={span_sum:.1f}ms vs "
-            f"frame={fm:.1f}ms ({span_sum / max(fm, 1e-9) * 100:.0f}%)")
-    except Exception as e:  # probe failure must not kill the bench
-        log(f"stage probe FAILED after {time.perf_counter() - t0:.1f}s: {e}")
-
     # ---- timed run (staged-input pipeline)
     class _Tail:
         def __init__(self, base, start):
@@ -414,6 +386,38 @@ def main(hard: bool = False):
     log(format_edge_stats(ba_info["edge_stats0"], ba_info["edge_stats"]))
     rep_rf = sysm.metrics(refined=True)
     log(f"refined accuracy: {rep_rf}")
+
+    # per-stage device-time split (the reference's 5-span harness) — the
+    # fused chunk step is one executable, so the split is measured by a
+    # stage-by-stage probe on real state/inputs.  Runs AFTER the timed
+    # regions: the probe's prefix-program compiles (100-600 s on a cold
+    # compile-service cache) left the rig churning for minutes when it ran
+    # before the timed loop (measured round 5: tracking 24.9 fps with the
+    # probe ahead of it vs 43.3 without).  calibrate_stage_times BACKFILLS
+    # the archived per-frame timings, so probing after the run still
+    # populates sysm.timing() and the saved results.
+    t0 = time.perf_counter()
+    try:
+        # VDO_BENCH_NO_PROBE=1 skips the probe for fast A/B iteration runs;
+        # the driver's round-end run keeps it so BENCH_r* records real
+        # per-stage device times
+        if os.environ.get("VDO_BENCH_NO_PROBE"):
+            raise RuntimeError("skipped (VDO_BENCH_NO_PROBE=1)")
+        # n_iters=4: resolution 4x per-stage ms (plenty vs the few-ms rep
+        # noise) at half the default's compile cost
+        stage_ms = sysm.tracker.calibrate_stage_times(pds[WARMUP_FRAMES],
+                                                      n_iters=4)
+        log(f"stage probe ({time.perf_counter() - t0:.1f}s, rtt "
+            f"{stage_ms.pop('_rtt_ms'):.1f}ms/call): "
+            + "  ".join(f"{k}={v:.1f}ms" for k, v in stage_ms.items()))
+        from vdo_slam_tpu.parallel.multistream import PROBE_SPANS
+
+        span_sum = sum(stage_ms[k] for k in PROBE_SPANS)
+        fm = stage_ms.get("_frame_ms", 0.0)
+        log(f"span coverage: sum(spans)={span_sum:.1f}ms vs "
+            f"frame={fm:.1f}ms ({span_sum / max(fm, 1e-9) * 100:.0f}%)")
+    except Exception as e:  # probe failure must not kill the bench
+        log(f"stage probe FAILED after {time.perf_counter() - t0:.1f}s: {e}")
 
     elapsed = track_elapsed + ba_elapsed
     fps = n_timed / elapsed
