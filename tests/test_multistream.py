@@ -142,6 +142,42 @@ class TestFusedSystem:
         assert rep2["n_obj_estimates"] == rep["n_obj_estimates"]
 
 
+class TestEntropyWireFused:
+    def test_entropy_wire_archive_matches_dense(self):
+        """The lossless entropy wire (config.wire_entropy, io/packing.py)
+        must reproduce the dense half-res wire's fused-mode run: the
+        device-side decode is bit-exact, so the only permissible deltas
+        are XLA reassociation noise from the different unpack HLO.  Pins
+        the full plumbing (config -> pack -> staged upload -> fused unpack
+        -> archive), not just the tensor round-trip."""
+        import dataclasses as dc
+
+        from tests.test_pipeline_e2e import small_config
+        from vdo_slam_tpu.pipeline import System
+
+        scene = make_scene(num_frames=6, width=320, height=240,
+                           num_objects=2, seed=3)
+        ds = SyntheticDataset(scene, depth_map_factor=1.0, bf=40.0)
+        base = small_config(scene, wire_flow_half=True)
+        runs = {}
+        for name, entropy in (("dense", False), ("entropy", True)):
+            cfg = base.replace(tracking=dc.replace(
+                base.tracking, wire_entropy=entropy,
+                wire_seg_cap=2048, wire_depth_exc_cap=2048))
+            sysm = System(cfg, enable_local_ba=False,
+                          enable_global_ba=False, mode="fused")
+            sysm.run_sequence(ds)
+            runs[name] = sysm
+        a, b = runs["dense"], runs["entropy"]
+        assert a.map.num_frames == b.map.num_frames
+        np.testing.assert_allclose(np.stack(a.map.cam_pose),
+                                   np.stack(b.map.cam_pose), atol=2e-5)
+        ra, rb = a.metrics(), b.metrics()
+        assert ra["n_obj_estimates"] == rb["n_obj_estimates"]
+        for k in ("cam_t_rpe", "cam_r_rpe_deg", "obj_t_rpe"):
+            assert abs(ra[k] - rb[k]) < 1e-5, (k, ra[k], rb[k])
+
+
 class TestPartialGT:
     """bObjStat semantics on sequences with partial GT (Tracking.cc:831-841):
     an object whose GT motion is missing in either frame of a pair is a
